@@ -1,0 +1,226 @@
+"""Shading: sky, fog+flares, point lights with soft shadows, Blinn-Phong +
+Schlick, Monte-Carlo AO, and multi-bounce reflections.
+
+Capability parity with reference: resources/renderer.cl:259-446. Light and
+bounce loops are statically unrolled (numLights <= 4, reflectIter <= 3 in all
+presets) with per-ray active masks; every secondary raymarch passes its mask
+down so the chunked march early-exits for lanes that don't need it.
+
+Preserved reference quirks:
+* albedo is multiplied into the accumulated diffuse term INSIDE the light
+  loop, i.e. applied numLights times (renderer.cl:376);
+* schlick() returns 0 (not r0) when the d term is exactly 0 (renderer.cl:310);
+* the glossy-perturbed shading normal is not re-normalized (renderer.cl:420);
+* all lights of a pixel share one jitter sample — the scatter seed does not
+  depend on the light index (renderer.cl:267).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import sampling
+from .march import distance_to_scene, raymarch
+from .vecmath import dot, mix, normalize, reflect
+
+_F32 = jnp.float32
+
+
+def sky_gradient(opts, rdir):
+    """Vertical sky gradient (reference: renderer.cl:259-261)."""
+    t = (rdir[:, 1] * 0.5 + 0.5)[:, None]
+    return mix(opts.skyColor1[None, :], opts.skyColor2[None, :], t)
+
+
+def light_pos_jittered(opts, mc_table, pixel_pos, i):
+    """Scattered light position (reference: renderer.cl:263-269)."""
+    seed = sampling.light_seed(opts, pixel_pos)
+    jitter = sampling.rand_float4(mc_table, seed)[:, :3]
+    return opts.lightPos[i, :3][None, :] + jitter * opts.lightScatter
+
+
+def apply_atmosphere(opts, mc_table, pixel_pos, ray_pos, ray_dir, isec_dist, col):
+    """Exponential-squared fog toward the sky + per-light lens flares
+    (reference: renderer.cl:275-290)."""
+    fa = (1.0 - jnp.exp(isec_dist * isec_dist * -opts.fogPow))[:, None]
+    col = col + (sky_gradient(opts, ray_dir) - col) * fa
+    for i in range(opts.numLights):
+        lp = light_pos_jittered(opts, mc_table, pixel_pos, i)
+        d = jnp.clip(dot(lp - ray_pos, ray_dir), 0.0, isec_dist)[:, None]
+        closest = ray_pos - lp + ray_dir * d
+        col = col + opts.lightColor[i, :3][None, :] * (
+            opts.flareAmp / dot(closest, closest)
+        )[:, None]
+    return col
+
+
+def shadow(vol, opts, p, ldir, light_max_dist, active):
+    """Hard shadow: full re-raymarch toward the light, 0/1 result
+    (reference: renderer.cl:292-301). Uses the fast-normal path budget
+    (shadowIter) and skips normal computation entirely."""
+    isec = raymarch(
+        vol, opts, p, ldir, light_max_dist, opts.shadowIter,
+        smooth=False, active=active, want_normal=False,
+    )
+    return (isec["distance"] >= light_max_dist).astype(_F32)
+
+
+def schlick(r0, smoothness, normal, view):
+    """Schlick fresnel approximation (reference: renderer.cl:304-311)."""
+    d = jnp.clip(1.0 - dot(normal, -view), 0.0, 1.0)
+    d2 = d * d
+    return jnp.where(d > 0.0, (1.0 - r0) * smoothness * d2 * d2 * d + r0, 0.0)
+
+
+def diffuse_intensity(ldir, normal):
+    """Lambert term (reference: renderer.cl:313-315)."""
+    return jnp.maximum(0.0, dot(ldir, normal))
+
+
+def blinn_phong_intensity(smoothness, ray_dir, light_dir, normal):
+    """Energy-normalized Blinn-Phong (reference: renderer.cl:317-325)."""
+    nh = dot(normalize(light_dir - ray_dir), normal)
+    spec_pow = jnp.exp2(6.0 * smoothness + 4.0)
+    val = jnp.power(jnp.maximum(nh, 0.0), spec_pow) * (spec_pow + 2.0) * 0.125
+    return jnp.where(nh > 0.0, val, 0.0)
+
+
+def ambient_occlusion(vol, opts, mc_table, pos, normal, active):
+    """Monte-Carlo AO: scene marches along scatter-jittered normals with a
+    halved voxel budget (reference: renderer.cl:327-346). Statically unrolled
+    aoIter+1 rounds with the reference's `ao > 0.01` early-out as a mask."""
+    n_rays = pos.shape[0]
+    ao = jnp.ones((n_rays,), _F32)
+    seed0 = sampling.ao_seed(opts, pos)
+    steps = opts.maxVoxelIter // 2
+    for i in range(opts.aoIter + 1):
+        act = active & (ao > 0.01)
+        d = opts.aoStepDist * _F32(i + 1)
+        seed = seed0 + jnp.uint32(37 * (i + 1))
+        sn = normalize(sampling.rand_float4(mc_table, seed)[:, :3] * 0.2 + normal)
+        sd = distance_to_scene(vol, opts, pos + sn * d[..., None], sn, steps, act)
+        ao_new = ao * (1.0 - jnp.maximum((d - sd["dist"]) * opts.aoAmp / d, 0.0))
+        ao = jnp.where(act, ao_new, ao)
+    return ao
+
+
+def object_lighting(
+    vol, opts, mc_table, pixel_pos, ray_dir, isec_pos, mat_idx, normal,
+    reflect_col, active,
+):
+    """Direct lighting of a surface point (reference: renderer.cl:348-381).
+
+    mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: (N, 3).
+    """
+    albedo = opts.mat_albedo[mat_idx][:, :3]
+    r0 = opts.mat_r0[mat_idx]
+    smoothness = opts.mat_smoothness[mat_idx]
+
+    ao = ambient_occlusion(vol, opts, mc_table, isec_pos, normal, active)
+    diff = sky_gradient(opts, normal) * ao[:, None]
+    spec = reflect_col * ao[:, None]
+    final = jnp.zeros_like(diff)
+    fresnel = schlick(r0, smoothness, normal, ray_dir)[:, None]
+
+    for i in range(opts.numLights):
+        delta = light_pos_jittered(opts, mc_table, pixel_pos, i) - isec_pos
+        d2 = dot(delta, delta)
+        att = 1.0 / d2
+        in_range = att > opts.minLightAtt
+        ldir = normalize(delta)
+        lmax = jnp.minimum(jnp.sqrt(d2) - opts.shadowBias, opts.maxDist)
+        sf = shadow(
+            vol, opts, isec_pos + ldir * opts.shadowBias, ldir, lmax,
+            active & in_range,
+        )
+        lit = in_range & (sf > 0.0)
+        incident = opts.lightColor[i, :3][None, :] * (sf * att)[:, None]
+        diff = diff + jnp.where(
+            lit[:, None], diffuse_intensity(ldir, normal)[:, None] * incident, 0.0
+        )
+        spec = spec + jnp.where(
+            lit[:, None],
+            blinn_phong_intensity(smoothness, ray_dir, ldir, normal)[:, None]
+            * incident,
+            0.0,
+        )
+        diff = diff * albedo  # QUIRK: per-light albedo (renderer.cl:376)
+        final = final + mix(diff, spec, fresnel)
+    return final / _F32(opts.numLights)
+
+
+def basic_scene_color(vol, opts, mc_table, pixel_pos, ray_pos, ray_dir, active):
+    """One-bounce scene color for reflection rays
+    (reference: renderer.cl:383-405): fast-normal raymarch, lighting with a
+    sky reflection, atmosphere. Returns (color, isec)."""
+    isec = raymarch(
+        vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
+        smooth=False, active=active, want_normal=True,
+    )
+    sky = sky_gradient(opts, ray_dir)
+    hit = isec["object_id"] >= 0
+    mat_idx = jnp.clip(isec["object_id"], 0, 3)
+    refl_sky = sky_gradient(opts, reflect(ray_dir, isec["normal"]))
+    lit = object_lighting(
+        vol, opts, mc_table, pixel_pos, ray_dir, isec["pos"], mat_idx,
+        isec["normal"], refl_sky, active & hit,
+    )
+    col = jnp.where(hit[:, None], lit, sky)
+    col = apply_atmosphere(
+        opts, mc_table, pixel_pos, ray_pos, ray_dir, isec["distance"], col
+    )
+    return col, isec
+
+
+def scene_color(vol, opts, mc_table, state, ray_pos, ray_dir):
+    """Primary shading: smooth-normal raymarch, glossy-perturbed normal,
+    optional multi-bounce reflections, lighting, atmosphere
+    (reference: renderer.cl:407-446)."""
+    n_rays = ray_pos.shape[0]
+    active = jnp.ones((n_rays,), bool)
+    isec = raymarch(
+        vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
+        smooth=True, active=active, want_normal=True,
+    )
+    sky = sky_gradient(opts, ray_dir)
+    hit = isec["distance"] < opts.maxDist  # renderer.cl:415
+    mat_idx = jnp.clip(isec["object_id"], 0, 3)
+    r0 = opts.mat_r0[mat_idx]
+    smoothness = opts.mat_smoothness[mat_idx]
+    # glossy perturbation, NOT re-normalized (renderer.cl:420)
+    norm_p = isec["normal"] + state["mc_normal"] / (smoothness * 200.0 + 5.0)[:, None]
+
+    if opts.reflectIter > 0:
+        b_active = hit & (r0 > 0.0)
+        acc = jnp.zeros((n_rays, 3), _F32)
+        r_dir = ray_dir
+        r_pos = isec["pos"]
+        r_norm = norm_p
+        for _ in range(opts.reflectIter):
+            r_dir = jnp.where(b_active[:, None], reflect(r_dir, r_norm), r_dir)
+            bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
+            col_i, bisec = basic_scene_color(
+                vol, opts, mc_table, state["pixel_pos"], bounce_origin, r_dir,
+                b_active,
+            )
+            acc = acc + jnp.where(b_active[:, None], col_i, 0.0)
+            b_hit = bisec["object_id"] >= 0
+            b_r0 = opts.mat_r0[jnp.clip(bisec["object_id"], 0, 3)]
+            b_active = b_active & b_hit & (b_r0 >= 0.001)  # renderer.cl:436-437
+            r_pos = bisec["pos"]
+            r_norm = bisec["normal"]
+        reflect_col = jnp.where(
+            (r0 > 0.0)[:, None], acc, sky_gradient(opts, reflect(ray_dir, norm_p))
+        )
+    else:
+        reflect_col = sky_gradient(opts, reflect(ray_dir, norm_p))
+
+    lit = object_lighting(
+        vol, opts, mc_table, state["pixel_pos"], ray_dir, isec["pos"], mat_idx,
+        norm_p, reflect_col, hit,
+    )
+    col = jnp.where(hit[:, None], lit, sky)
+    col = apply_atmosphere(
+        opts, mc_table, state["pixel_pos"], ray_pos, ray_dir, isec["distance"], col
+    )
+    return col
