@@ -1,0 +1,78 @@
+"""Headline benchmark: gyroid 512x512 @ 16 spp, :metal preset, on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: the north-star target of 1 s/frame for this workload (the OpenCL
+reference published no numbers — BASELINE.md). vs_baseline > 1 means faster
+than the 1 s target.
+
+Env overrides: BENCH_SIZE (default 512), BENCH_SPP (16), BENCH_VRES (256),
+BENCH_MAT (metal), BENCH_REPS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    size = int(os.environ.get("BENCH_SIZE", 512))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    vres = int(os.environ.get("BENCH_VRES", 256))
+    mat = os.environ.get("BENCH_MAT", "metal")
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    from raymarchcl_tpu.api import default_volume
+    from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+    from raymarchcl_tpu.ops.sampling import make_mc_tables
+    from raymarchcl_tpu.options import render_options
+
+    volume, actual_vres = default_volume((vres, vres, vres))
+    vol = jnp.asarray(volume, jnp.uint8)
+    opts = render_options(
+        width=size, height=size, vres=list(actual_vres), iter=spp, mat=mat,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    mc_tables = make_mc_tables(spp, seed=0)
+    times = jnp.arange(spp, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+
+    fn = render_mod._render_jit
+    # warm-up / compile
+    argb, _ = fn(vol, opts, mc_tables, times, accum0)
+    argb.block_until_ready()
+
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        argb, _ = fn(vol, opts, mc_tables, times, accum0)
+        argb.block_until_ready()
+        samples.append(time.perf_counter() - t0)
+    frame_time = sorted(samples)[len(samples) // 2]
+
+    # primary rays only (secondary shadow/AO/bounce rays excluded -> a
+    # conservative Mrays/s; the per-pixel work is far higher for :metal)
+    mrays = size * size * spp / frame_time / 1e6
+    baseline = 1.0  # north-star: < 1 s/frame (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"gyroid{size}_{spp}spp_{mat}_frame_time",
+                "value": round(frame_time, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline / frame_time, 4),
+                "mrays_per_sec": round(mrays, 2),
+                "device": str(jax.devices()[0]),
+                "samples": [round(s, 4) for s in samples],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,23 +10,26 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 
-from .vecmath import cross, normalize
+from .vecmath import V3, cross, normalize
 
 
 def camera_ray_lookat(opts, state):
     """Per-pixel primary rays. state comes from sampling.init_render_state
-    (jittered pixel_pos + DOF-offset eye_pos). Returns (pos (N,3), dir (N,3)).
-    """
+    (jittered px/py + DOF-offset eye_pos V3). Returns (pos: V3, dir: V3)."""
     eye = state["eye_pos"]
-    forward = normalize(opts.targetPos[None, :] - eye)
-    right = normalize(cross(forward, opts.up[None, :]))
-    res = jnp.asarray(opts.resolution, jnp.float32)
-    vc = state["pixel_pos"] / res * opts.fov - opts.fov * 0.5
-    vcy = vc[:, 1] * (-opts.invAspect)
-    rdir = normalize(right * vc[:, 0:1] + cross(right, forward) * vcy[:, None] + forward)
+    target = V3(opts.targetPos[0], opts.targetPos[1], opts.targetPos[2])
+    up = V3(opts.up[0], opts.up[1], opts.up[2])
+    forward = normalize(
+        V3(target.x - eye.x, target.y - eye.y, target.z - eye.z)
+    )
+    right = normalize(cross(forward, up))
+    w, h = opts.resolution
+    vcx = state["px"] / w * opts.fov - opts.fov * 0.5
+    vcy = (state["py"] / h * opts.fov - opts.fov * 0.5) * (-opts.invAspect)
+    upv = cross(right, forward)
+    rdir = normalize(right * vcx + upv * vcy + forward)
     return eye, rdir
 
 

@@ -3,39 +3,44 @@ sphere-trace loop, and voxel normals.
 
 Capability parity with reference: resources/renderer.cl:146-257 (raymarch,
 distanceToScene, intersectsBox, voxelLookup, voxelNormal/Smooth,
-voxelMaterial, distUnion) — but the implementation is redesigned for TPU:
+voxelMaterial, distUnion) — but redesigned for the TPU:
+
+* SoA everywhere: rays are V3 triples of flat (N,) arrays; chunked march
+  samples are (CH, N) planes with RAYS ON THE LANE DIMENSION, so every
+  vector op runs at full 8x128 register occupancy (see ops/vecmath.py).
 
 * The per-ray `while` voxel march (renderer.cl:219-234) becomes a *chunked
-  vectorized gather*: because the reference marches in FIXED steps, all
-  sample positions p_k = p0 + k*delta are known up front, so each loop round
-  gathers a whole chunk of C samples for every ray at once and resolves the
-  first hit/exit with vector ops. The chunk loop is a `lax.while_loop` with a
-  `jnp.any(active)` early exit, so secondary rays that hit immediately cost
-  one chunk, not 192 scalar steps.
+  vectorized gather*: the reference marches in FIXED steps, so all sample
+  positions p_k = p0 + k*delta are known up front; each loop round gathers a
+  whole chunk of CH samples for every ray at once and resolves first-hit /
+  first-exit with argmax over the chunk axis. The round loop is a
+  `lax.while_loop` with a `jnp.any(active)` early exit, so secondary rays
+  that resolve immediately cost one round, not 192 scalar steps.
 
-* Normal estimation (renderer.cl:180-203) is deferred: during marching only
-  the hit voxel coordinate is tracked; the gradient / smoothed-gradient
-  gathers run ONCE per raymarch (not once per sphere-trace round), and not at
-  all for shadow/AO rays, whose normals the reference computes and discards.
-  The smooth 3x3x3-of-gradients normal is computed from a single (N, 5^3)
-  occupancy gather instead of 189 pointwise lookups.
+* Normal estimation (renderer.cl:180-203) is deferred: marching only tracks
+  the hit voxel coordinate; gradient gathers run ONCE per raymarch (not per
+  sphere-trace round) and never for shadow/AO rays, whose normals the
+  reference computes and discards. The smooth 3x3x3-of-gradients normal
+  comes from one (5^3, N) occupancy gather instead of 189 pointwise lookups.
 
 All semantics (step counts, break conditions, distUnion tie-breaks, the
-ground-plane "material = its own distance" quirk) match the reference.
+ground-plane "material = its own distance" quirk, C truncation-toward-zero
+voxel addressing) match the reference; tests/test_parity.py checks pixels
+against a literal scalar transcription of the OpenCL.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .vecmath import normalize, norm
+from .vecmath import V3, dot, norm, normalize, where3
 
-# Samples gathered per ray per chunk round of the fixed-step march.
-MARCH_CHUNK = 32
+# Samples gathered per ray per round of the fixed-step march. 8 sublanes x
+# full lanes is the natural (CH, N) tile height; 16 halves round count for
+# long marches at 2x the speculative work — 8 wins for secondary rays.
+MARCH_CHUNK = 16
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -48,50 +53,73 @@ def dist_union(d1, m1, d2, m2):
     return jnp.where(take1, d1, d2), jnp.where(take1, m1, m2)
 
 
-def intersects_box(bmin, bmax, p, d):
+def intersects_box(bmin, bmax, p: V3, d: V3):
     """Slab test (reference: renderer.cl:153-161). Returns entry distance or
-    -1.0 where the ray misses. p, d: (N, 3); bmin/bmax: (3,)."""
-    d_safe = jnp.where(d == 0.0, 1e-30, d)
-    omin = (bmin - p) / d_safe
-    omax = (bmax - p) / d_safe
-    lo = jnp.minimum(omax, omin)
-    hi = jnp.maximum(omax, omin)
-    a = jnp.maximum(jnp.maximum(lo[..., 0], 0.0), jnp.maximum(lo[..., 1], lo[..., 2]))
-    b = jnp.minimum(hi[..., 0], jnp.minimum(hi[..., 1], hi[..., 2]))
+    -1.0 where the ray misses. bmin/bmax: python/np 3-sequences."""
+    out = None
+    a = jnp.zeros_like(p.x)
+    b = None
+    for c in range(3):
+        dc = (d.x, d.y, d.z)[c]
+        pc = (p.x, p.y, p.z)[c]
+        d_safe = jnp.where(dc == 0.0, 1e-30, dc)
+        o1 = (bmin[c] - pc) / d_safe
+        o2 = (bmax[c] - pc) / d_safe
+        lo = jnp.minimum(o1, o2)
+        hi = jnp.maximum(o1, o2)
+        a = jnp.maximum(a, lo)
+        b = hi if b is None else jnp.minimum(b, hi)
+    del out
     return jnp.where(b > a, a, -1.0)
 
 
-def voxel_coord(opts, p):
-    """Float [0,1]^3-ish position -> integer voxel coord, C-style truncation
-    toward zero (reference: renderer.cl:165 convert_int3_sat)."""
-    res = jnp.asarray(opts.voxelRes[:3], dtype=_F32)
-    return (p * res).astype(_I32)
+def _res_f32(opts):
+    rx, ry, rz, _ = opts.voxelRes
+    return _F32(rx), _F32(ry), _F32(rz)
 
 
-def _flat_index(opts, q):
+def voxel_coord(opts, p: V3) -> V3:
+    """Float volume-space position -> integer voxel coord, C-style
+    truncation toward zero (reference: renderer.cl:165 convert_int3_sat)."""
+    rx, ry, rz = _res_f32(opts)
+    return V3(
+        (p.x * rx).astype(_I32), (p.y * ry).astype(_I32), (p.z * rz).astype(_I32)
+    )
+
+
+def _bounds_and_index(opts, q: V3):
     rx, ry, rz, rxy = opts.voxelRes
     valid = (
-        (q[..., 0] >= 0) & (q[..., 0] < rx)
-        & (q[..., 1] >= 0) & (q[..., 1] < ry)
-        & (q[..., 2] >= 0) & (q[..., 2] < rz)
+        (q.x >= 0) & (q.x < rx)
+        & (q.y >= 0) & (q.y < ry)
+        & (q.z >= 0) & (q.z < rz)
     )
-    idx = q[..., 2] * rxy + q[..., 1] * rx + q[..., 0]
-    return jnp.where(valid, idx, 0), valid
+    idx = q.z * rxy + q.y * rx + q.x
+    return valid, jnp.where(valid, idx, 0)
+
+
+def voxel_fetch(vol, opts, q: V3):
+    """Bounds-checked byte fetch at integer coords -> (value int32 with -1
+    OOB, valid mask). The gather itself is uint8 (minimal HBM traffic)."""
+    valid, idx = _bounds_and_index(opts, q)
+    v = jnp.take(vol, idx, mode="clip").astype(_I32)
+    return jnp.where(valid, v, -1), valid
 
 
 def voxel_lookup(vol, opts, p):
     """Nearest-neighbor byte fetch; -1 outside the grid
-    (reference: renderer.cl:163-170). p: (..., 3) -> int32 (...)."""
-    q = voxel_coord(opts, p)
-    idx, valid = _flat_index(opts, q)
-    v = jnp.take(vol, idx, mode="clip").astype(_I32)
-    return jnp.where(valid, v, -1)
+    (reference: renderer.cl:163-170). Accepts V3 or an (..., 3) array."""
+    if not isinstance(p, V3):
+        p = V3.from_array(p)
+    return voxel_fetch(vol, opts, voxel_coord(opts, p))[0]
 
 
 def occupancy_i(vol, opts, q):
     """voxelLookupI (reference: renderer.cl:172-178): step(isoVal, v) with
-    0.0 outside the grid. q: (..., 3) int32 -> float32 (...)."""
-    idx, valid = _flat_index(opts, q)
+    0.0 outside the grid. Accepts V3 (or (..., 3) int array) -> float32."""
+    if not isinstance(q, V3):
+        q = V3.from_array(q)
+    valid, idx = _bounds_and_index(opts, q)
     v = jnp.take(vol, idx, mode="clip")
     return jnp.where(valid & (v >= jnp.uint8(opts.isoVal)), 1.0, 0.0).astype(_F32)
 
@@ -102,130 +130,139 @@ def voxel_material(v):
     return jnp.where(v < 84, 1.0, jnp.where(v < 168, 2.0, 3.0)).astype(_F32)
 
 
-# 5^3 neighborhood offsets, off[i,j,k] = (di-2, dj-2, dk-2) on (x, y, z)
-_r5 = np.arange(-2, 3)
-_OFF5 = np.stack(np.meshgrid(_r5, _r5, _r5, indexing="ij"), axis=-1).astype(np.int32)
-
-# 6-point stencil for the fast gradient normal (+x,-x,+y,-y,+z,-z)
-_OFF6 = np.array(
-    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-    dtype=np.int32,
+# 5^3 neighborhood offsets for the smooth normal, component-planes (125,)
+_r5 = np.arange(-2, 3, dtype=np.int32)
+_OX5, _OY5, _OZ5 = (
+    o.reshape(-1) for o in np.meshgrid(_r5, _r5, _r5, indexing="ij")
 )
 
 
-def voxel_normal_fast(vol, opts, q):
+def voxel_normal_fast(vol, opts, q: V3) -> V3:
     """Central-difference occupancy gradient, normalized
-    (reference: renderer.cl:180-188 + normalize at :228). q: (N,3)."""
-    qq = q[:, None, :] + jnp.asarray(_OFF6)  # (N, 6, 3)
-    occ = occupancy_i(vol, opts, qq)  # (N, 6)
-    n = -jnp.stack(
-        [occ[:, 0] - occ[:, 1], occ[:, 2] - occ[:, 3], occ[:, 4] - occ[:, 5]], axis=-1
+    (reference: renderer.cl:180-188 + normalize at :228). q: V3 of (N,)."""
+    occ = lambda dx, dy, dz: occupancy_i(vol, opts, V3(q.x + dx, q.y + dy, q.z + dz))
+    n = V3(
+        occ(1, 0, 0) - occ(-1, 0, 0),
+        occ(0, 1, 0) - occ(0, -1, 0),
+        occ(0, 0, 1) - occ(0, 0, -1),
     )
-    return normalize(n)
+    return normalize(-n)
 
 
-def voxel_normal_smooth(vol, opts, q):
+def voxel_normal_smooth(vol, opts, q: V3) -> V3:
     """Sum of gradient normals over the occupied 3x3x3 neighborhood,
     normalized (reference: renderer.cl:190-203).
 
-    One (N, 125) occupancy gather; gradients by shifted slicing.
+    One (125, N) occupancy gather; gradients by shifted slicing of the
+    (5, 5, 5, N) occupancy block.
     """
-    qq = q[:, None, :] + jnp.asarray(_OFF5.reshape(125, 3))  # (N, 125, 3)
-    occ = occupancy_i(vol, opts, qq).reshape((-1, 5, 5, 5))  # [n, dx, dy, dz]
-    c = occ[:, 1:4, 1:4, 1:4]
-    gx = occ[:, 2:5, 1:4, 1:4] - occ[:, 0:3, 1:4, 1:4]
-    gy = occ[:, 1:4, 2:5, 1:4] - occ[:, 1:4, 0:3, 1:4]
-    gz = occ[:, 1:4, 1:4, 2:5] - occ[:, 1:4, 1:4, 0:3]
-    w = (c > 0.0).astype(_F32)
-    n = -jnp.stack(
-        [
-            jnp.sum(w * gx, axis=(1, 2, 3)),
-            jnp.sum(w * gy, axis=(1, 2, 3)),
-            jnp.sum(w * gz, axis=(1, 2, 3)),
-        ],
-        axis=-1,
+    n = q.x.shape[0]
+    qq = V3(
+        q.x[None, :] + jnp.asarray(_OX5)[:, None],
+        q.y[None, :] + jnp.asarray(_OY5)[:, None],
+        q.z[None, :] + jnp.asarray(_OZ5)[:, None],
     )
-    return normalize(n)
+    occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, n)  # [dx, dy, dz, ray]
+    c = occ[1:4, 1:4, 1:4]
+    gx = occ[2:5, 1:4, 1:4] - occ[0:3, 1:4, 1:4]
+    gy = occ[1:4, 2:5, 1:4] - occ[1:4, 0:3, 1:4]
+    gz = occ[1:4, 1:4, 2:5] - occ[1:4, 1:4, 0:3]
+    w = (c > 0.0).astype(_F32)
+    nv = V3(
+        -jnp.sum(w * gx, axis=(0, 1, 2)),
+        -jnp.sum(w * gy, axis=(0, 1, 2)),
+        -jnp.sum(w * gz, axis=(0, 1, 2)),
+    )
+    return normalize(nv)
 
 
-def march_volume(vol, opts, p0, delta, steps, active, chunk=MARCH_CHUNK):
+def march_volume(vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK):
     """Fixed-step march through normalized volume space
-    (reference: renderer.cl:219-234): the first k in [0, steps) where the
-    sample leaves the grid (break) or exceeds isoVal (hit).
+    (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
+    leaves the grid (break) or exceeds isoVal (hit).
 
-    Vectorized: per while-round, gather `chunk` samples for every ray and
-    resolve first-stop with an argmax. Early-exits when every ray stopped.
-
-    Returns (hit (N,) bool, hit_k (N,) int32, hit_v (N,) int32).
+    Per while-round: build (chunk, N) coordinate planes, one batched gather,
+    argmax first-hit/first-exit resolution. Early-exits when every ray
+    stopped. Returns (hit (N,) bool, hit_k (N,) int32); the hit voxel VALUE
+    is re-fetched by the caller from hit_k (one (N,) gather) instead of
+    being threaded through the loop.
     """
-    n = p0.shape[0]
-    n_chunks = -(-steps // chunk)
+    n = p0.x.shape[0]
+    n_rounds = -(-steps // chunk)
     iso = _I32(opts.isoVal)
-    ks_rel = jnp.arange(chunk, dtype=_I32)
+    ks = jnp.arange(chunk, dtype=_F32)[:, None]  # (CH, 1)
+    ksi = jnp.arange(chunk, dtype=_I32)[:, None]
 
     def cond(c):
-        return (c[0] < n_chunks) & jnp.any(c[1])
+        return (c[0] < n_rounds) & jnp.any(c[1])
 
     def body(c):
-        i, act, hit, hit_k, hit_v = c
-        ks = i * chunk + ks_rel  # (chunk,)
-        valid_k = ks < steps
-        ps = p0[:, None, :] + delta[:, None, :] * ks[None, :, None].astype(_F32)
-        v = voxel_lookup(vol, opts, ps)  # (N, chunk) int32, -1 OOB
-        stop = ((v < 0) | (v > iso)) & valid_k[None, :]
-        any_stop = jnp.any(stop, axis=1)
-        first = jnp.argmax(stop, axis=1)  # (N,) first stop in chunk
-        v_first = jnp.take_along_axis(v, first[:, None], axis=1)[:, 0]
+        i, act, hit, hit_k = c
+        base = i * chunk
+        kk = base.astype(_F32) + ks  # (CH, 1)
+        p = V3(
+            p0.x[None, :] + delta.x[None, :] * kk,
+            p0.y[None, :] + delta.y[None, :] * kk,
+            p0.z[None, :] + delta.z[None, :] * kk,
+        )
+        v, _ = voxel_fetch(vol, opts, voxel_coord(opts, p))  # (CH, N)
+        valid_k = (base + ksi) < steps
+        oob = (v < 0) & valid_k
+        hitm = (v > iso) & valid_k
+        any_oob = jnp.any(oob, axis=0)
+        any_hit = jnp.any(hitm, axis=0)
+        first_oob = jnp.argmax(oob, axis=0)  # (N,)
+        first_hit = jnp.argmax(hitm, axis=0)
+        is_hit = any_hit & (~any_oob | (first_hit < first_oob))
+        first = jnp.where(is_hit, first_hit, first_oob)
+        any_stop = any_oob | any_hit
         newly = act & any_stop
-        is_hit = v_first > iso
         return (
             i + 1,
             act & ~any_stop,
             jnp.where(newly, is_hit, hit),
-            jnp.where(newly, i * chunk + first, hit_k),
-            jnp.where(newly, v_first, hit_v),
+            jnp.where(newly, base + first, hit_k),
         )
 
-    init = (
-        _I32(0),
-        active,
-        jnp.zeros((n,), bool),
-        jnp.zeros((n,), _I32),
-        jnp.full((n,), -1, _I32),
-    )
-    _, _, hit, hit_k, hit_v = jax.lax.while_loop(cond, body, init)
-    return hit, hit_k, hit_v
+    init = (_I32(0), active, jnp.zeros((n,), bool), jnp.zeros((n,), _I32))
+    _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
+    return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos, rdir, steps, active, chunk=MARCH_CHUNK):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
-    Returns dict:
-      dist (N,)      signed scene distance
-      mat  (N,)      material id as float (ground quirk: its own distance)
-      hit  (N,) bool inner march hit a voxel
-      q    (N,3)     hit voxel coord (valid where hit)
-      gd   (N,)      ground distance (for the deferred normal)
+    Returns dict: dist (N,), mat (N,) float (ground quirk: its own
+    distance), hit (N,) bool, q (V3 int hit voxel coords), gd (N,).
     Normals are NOT computed here — see `isec_normal`.
     """
-    gd = rpos[:, 1] + opts.groundY
-    # distUnion((gd, gd), (1e5, -1)) — scalar float2 broadcast makes the
+    gd = rpos.y + opts.groundY
+    # distUnion((gd, gd), (1e5, -1)) — the scalar float2 broadcast makes the
     # ground's "material" its own distance (renderer.cl:211)
     res_d, res_m = dist_union(gd, gd, jnp.full_like(gd, 1e5), jnp.full_like(gd, -1.0))
 
-    idist = intersects_box(opts.voxelBoundsMin, opts.voxelBoundsMax, rpos, rdir)
+    idist = intersects_box(_np3(opts.voxelBoundsMin), _np3(opts.voxelBoundsMax), rpos, rdir)
     march_mask = active & (idist >= 0.0) & (idist < res_d)
 
-    delta = rdir / (steps * 0.5) * opts.invVoxelScale
-    p0 = rpos + opts.voxelBounds
-    p0 = jnp.where((idist > 0.0)[:, None], p0 + rdir * idist[:, None], p0)
-    p0 = p0 * opts.invVoxelScale
+    inv_s = _np3(opts.invVoxelScale)
+    vb = _np3(opts.voxelBounds)
+    scale = 1.0 / (steps * 0.5)
+    delta = V3(rdir.x * scale * inv_s[0], rdir.y * scale * inv_s[1], rdir.z * scale * inv_s[2])
+    adv = jnp.where(idist > 0.0, idist, 0.0)
+    p0 = V3(
+        (rpos.x + vb[0] + rdir.x * adv) * inv_s[0],
+        (rpos.y + vb[1] + rdir.y * adv) * inv_s[1],
+        (rpos.z + vb[2] + rdir.z * adv) * inv_s[2],
+    )
 
-    hit, hit_k, hit_v = march_volume(vol, opts, p0, delta, steps, march_mask, chunk)
-    hit_p = p0 + delta * hit_k[:, None].astype(_F32)
+    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk)
+    kf = hit_k.astype(_F32)
+    hit_p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, hit_p)
-    world = hit_p * opts.voxelBounds2 - opts.voxelBounds
+    hit_v, _ = voxel_fetch(vol, opts, q)  # re-fetch value at hit (N,)
+    vb2 = _np3(opts.voxelBounds2)
+    world = V3(hit_p.x * vb2[0] - vb[0], hit_p.y * vb2[1] - vb[1], hit_p.z * vb2[2] - vb[2])
     vdist = norm(rpos - world) - opts.voxelSize
     vmat = voxel_material(hit_v)
 
@@ -239,27 +276,27 @@ def distance_to_scene(vol, opts, rpos, rdir, steps, active, chunk=MARCH_CHUNK):
     }
 
 
-def isec_normal(vol, opts, sd, rdir, smooth):
-    """Deferred normal for a distance_to_scene result
+def _np3(x):
+    """Static 3-vector RenderOpts fields are python tuples; they fold into
+    the compiled program as immediate constants."""
+    return tuple(float(v) for v in x)
+
+
+def isec_normal(vol, opts, hit, q, gd, rdir: V3, smooth):
+    """Deferred normal for a distance_to_scene / raymarch result
     (reference: renderer.cl:212 ground/backstop, :225-229 voxel gradient)."""
-    ground_n = jnp.where(
-        (sd["gd"] < 1e5)[:, None],
-        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], _F32), rdir.shape),
-        -rdir,
+    ground_n = where3(
+        gd < 1e5, V3.const((0.0, 1.0, 0.0), like=rdir), -rdir
     )
-    if smooth:
-        vn = voxel_normal_smooth(vol, opts, sd["q"])
-    else:
-        vn = voxel_normal_fast(vol, opts, sd["q"])
-    return jnp.where(sd["hit"][:, None], vn, ground_n)
+    vn = (voxel_normal_smooth if smooth else voxel_normal_fast)(vol, opts, q)
+    return where3(hit, vn, ground_n)
 
 
-@partial(jax.named_call, name="raymarch")
 def raymarch(
     vol,
     opts,
-    ray_pos,
-    ray_dir,
+    ray_pos: V3,
+    ray_dir: V3,
     max_dist,
     max_steps,
     smooth,
@@ -270,16 +307,15 @@ def raymarch(
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
     max_dist may be scalar or per-ray (N,). max_steps/smooth/want_normal are
-    static. Returns dict isec {pos, distance, object_id, normal?}.
+    static. Returns dict isec {pos: V3, distance, object_id, normal?: V3}.
 
-    The loop keeps the reference's structure: each round re-marches the
-    volume from the current position (renderer.cl:245); rounds stop when all
-    rays have converged (|d| <= eps), escaped (>= max_dist), or the step
-    budget runs out; misses are rewritten to objectID=-1 / distance=1000
-    (renderer.cl:252-256). Normals resolve once post-loop from the tracked
-    hit voxel instead of once per round.
+    Keeps the reference's loop structure: each round re-marches the volume
+    from the current position (renderer.cl:245); rounds stop when all rays
+    converged (|d| <= eps), escaped (>= max_dist), or the budget ran out;
+    misses rewrite to objectID=-1 / distance=1000 (renderer.cl:252-256).
+    Normals resolve once post-loop from the tracked hit voxel.
     """
-    n = ray_pos.shape[0]
+    n = ray_pos.x.shape[0]
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
 
     carry = {
@@ -289,7 +325,7 @@ def raymarch(
         "obj": jnp.zeros((n,), _I32),
         "pos": ray_pos,
         "hit": jnp.zeros((n,), bool),
-        "q": jnp.zeros((n, 3), _I32),
+        "q": V3(jnp.zeros((n,), _I32), jnp.zeros((n,), _I32), jnp.zeros((n,), _I32)),
         "gd": jnp.zeros((n,), _F32),
     }
 
@@ -298,17 +334,22 @@ def raymarch(
 
     def body(c):
         a = c["active"]
-        pos = ray_pos + ray_dir * c["dist"][:, None]
+        pos = ray_pos + ray_dir * c["dist"]
         sd = distance_to_scene(vol, opts, pos, ray_dir, opts.maxVoxelIter, a, chunk)
         done = (jnp.abs(sd["dist"]) <= opts.eps) | (c["dist"] >= max_dist)
+        qi = sd["q"]
         return {
             "step": c["step"] + 1,
             "active": a & ~done,
             "dist": jnp.where(a & ~done, c["dist"] + sd["dist"], c["dist"]),
             "obj": jnp.where(a, sd["mat"].astype(_I32), c["obj"]),
-            "pos": jnp.where(a[:, None], pos, c["pos"]),
+            "pos": where3(a, pos, c["pos"]),
             "hit": jnp.where(a, sd["hit"], c["hit"]),
-            "q": jnp.where(a[:, None], sd["q"], c["q"]),
+            "q": V3(
+                jnp.where(a, qi.x, c["q"].x),
+                jnp.where(a, qi.y, c["q"].y),
+                jnp.where(a, qi.z, c["q"].z),
+            ),
             "gd": jnp.where(a, sd["gd"], c["gd"]),
         }
 
@@ -316,11 +357,12 @@ def raymarch(
 
     miss = c["dist"] >= max_dist
     isec = {
-        "pos": jnp.where(miss[:, None], ray_pos + ray_dir * c["dist"][:, None], c["pos"]),
+        "pos": where3(miss, ray_pos + ray_dir * c["dist"], c["pos"]),
         "distance": jnp.where(miss, 1000.0, c["dist"]),
         "object_id": jnp.where(miss, -1, c["obj"]),
     }
     if want_normal:
-        sd = {"hit": c["hit"] & ~miss, "q": c["q"], "gd": c["gd"]}
-        isec["normal"] = isec_normal(vol, opts, sd, ray_dir, smooth)
+        isec["normal"] = isec_normal(
+            vol, opts, c["hit"] & ~miss, c["q"], c["gd"], ray_dir, smooth
+        )
     return isec

@@ -29,18 +29,28 @@ TIME_STEP_INIT = 0.333
 TIME_STEP_ANIM = 0.3333
 
 
-def render_pass(vol, opts, mc_table, accum):
+def render_pass(vol, opts, mc_table, accum, ids=None):
     """One full-supersample pass blended into the accumulation buffer
-    (reference: renderer.cl:478-494). accum: (N, 3) float32."""
-    n = opts.num_pixels
-    ids = jnp.arange(n, dtype=jnp.int32)
-    state = init_render_state(opts, mc_table, ids)
+    (reference: renderer.cl:478-494). accum: (N, 3) float32.
+
+    ids: optional (N,) int32 GLOBAL flat pixel ids — pixel identity drives
+    the jitter seeds (renderer.cl:471-472), so a shard rendering a tile must
+    pass its global ids to stay bit-identical with an unsharded render.
+    """
+    from .sampling import transpose_table
+
+    if ids is None:
+        ids = jnp.arange(opts.num_pixels, dtype=jnp.int32)
+    table_t = transpose_table(mc_table)
+    state = init_render_state(opts, table_t, ids)
     ray_pos, ray_dir = camera_ray_lookat(opts, state)
-    col = scene_color(vol, opts, mc_table, state, ray_pos, ray_dir) * opts.exposure
-    return accum + (col - accum) * opts.frameBlend
+    col = scene_color(vol, opts, table_t, state, ray_pos, ray_dir)
+    col = col * opts.exposure
+    col_a = col.to_array()
+    return accum + (col_a - accum) * opts.frameBlend
 
 
-def render_accum(vol, opts, mc_tables, times, accum):
+def render_accum(vol, opts, mc_tables, times, accum, ids=None):
     """All spp passes via lax.scan (reference loop: core.clj:83-90).
 
     mc_tables: (iter, tableLen, 4); times: (iter,). The pass count is the
@@ -49,7 +59,7 @@ def render_accum(vol, opts, mc_tables, times, accum):
 
     def step(acc, xs):
         t, table = xs
-        return render_pass(vol, opts.replace(time=t), table, acc), None
+        return render_pass(vol, opts.replace(time=t), table, acc, ids), None
 
     accum, _ = jax.lax.scan(step, accum, (times, mc_tables))
     return accum

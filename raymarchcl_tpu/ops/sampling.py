@@ -5,14 +5,18 @@ unit-length 4-vectors indexed by hashed integer seeds
 (reference: generators.clj:8-16 table; renderer.cl:142-144 `randFloat4`
 `mcSamples[seed & 0x3fff]`; renderer.cl:467-476 per-pixel state).
 
-We keep that architecture (it is branch-free and gather-friendly, which suits
-the TPU well) but generate the table with JAX threefry instead of
-java.util.Random, so renders are reproducible from an integer seed. An
-arbitrary externally-generated table can be injected for exact-parity runs.
+We keep that architecture (branch-free, gather-friendly — a good fit for the
+TPU) but generate the table with JAX threefry instead of java.util.Random,
+so renders are reproducible from an integer seed; an externally-generated
+table can be injected for exact-parity runs.
+
+Device-side the table is consumed TRANSPOSED as (4, tableLen) so each
+component lookup is a full-lane (N,) gather from a contiguous row (see
+ops/vecmath.py for why minor-dim-4 layouts are poison on TPU).
 
 Distribution parity note: the reference draws each component uniformly in
-[-1, 1) and normalizes the 4-vector WITHOUT rejection sampling, so directions
-are cube-corner biased, not uniform on S^3. We replicate that construction.
+[-1, 1) and normalizes the 4-vector WITHOUT rejection sampling, so
+directions are cube-corner biased, not uniform on S^3. We replicate that.
 """
 
 from __future__ import annotations
@@ -21,8 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..options import MC_TABLE_LENGTH
+from .vecmath import V3, normalize
 
 _U32 = jnp.uint32
+_I32 = jnp.int32
 
 
 def generate_scatter_offsets(num=MC_TABLE_LENGTH, seed=0, key=None):
@@ -42,65 +48,74 @@ def make_mc_tables(n_passes, seed=0):
     return jax.vmap(lambda k: generate_scatter_offsets(key=k))(keys)
 
 
-def rand_float4(mc_table, seed_u32):
+def transpose_table(table):
+    """(T, 4) -> (4, T) contiguous for device-side component gathers."""
+    return jnp.asarray(table).T
+
+
+def rand_float4(table_t, seed_u32):
     """table[seed & 0x3fff] (reference: renderer.cl:142-144).
 
-    seed_u32: uint32 array of any shape; returns (..., 4) float32.
+    table_t: (4, T) transposed table; seed_u32: uint32 (N,).
+    Returns (x, y, z, w) component arrays.
     """
-    idx = (seed_u32 & _U32(0x3FFF)).astype(jnp.int32)
-    return jnp.take(mc_table, idx, axis=0)
+    idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
+    return tuple(jnp.take(table_t[c], idx) for c in range(4))
+
+
+def rand_xyz(table_t, seed_u32) -> V3:
+    idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
+    return V3(
+        jnp.take(table_t[0], idx), jnp.take(table_t[1], idx), jnp.take(table_t[2], idx)
+    )
 
 
 def f2u32(x):
     """C-style (uint)(float_expr) cast as the reference kernels perform it.
 
-    The reference feeds small (possibly slightly negative) float expressions
-    through a C uint cast; on GPU hardware that truncates and wraps two's
-    complement. XLA's float->uint conversion instead clamps negatives to 0,
-    so we go through int32 (truncation) and bitcast to uint32.
+    The reference feeds small (possibly negative) float expressions through a
+    C uint cast; hardware truncates and wraps two's complement. XLA's
+    float->uint conversion clamps negatives to 0 instead, so go through
+    int32 (truncation) and reinterpret as uint32.
     """
-    return jnp.asarray(x, jnp.float32).astype(jnp.int32).astype(_U32)
+    return jnp.asarray(x, jnp.float32).astype(_I32).astype(_U32)
 
 
-def init_render_state(opts, mc_table, ids):
+def init_render_state(opts, table_t, ids):
     """Per-pixel jitter state (reference: renderer.cl:467-476).
 
-    ids: (N,) int32 flat pixel ids. Returns dict with
-      mc_pos (N,4), mc_normal (N,3), pixel_pos (N,2), eye_pos (N,3).
+    ids: (N,) int32 GLOBAL flat pixel ids. Returns dict with
+      px, py (N,) jittered pixel coords; mc_normal V3; eye_pos V3;
+      mc_pos_zw kept inside px/py.
     """
     w = opts.resolution[0]
-    px = (ids % w).astype(jnp.float32)
-    py = (ids // w).astype(jnp.float32)
+    pix_x = (ids % w).astype(jnp.float32)
+    pix_y = (ids // w).astype(jnp.float32)
     t = opts.time
     # seeds: (uint)(id*17) + (uint)(time*3141.3862f) etc. (renderer.cl:471-472)
     seed_pos = (ids * 17).astype(_U32) + f2u32(t * 3141.3862)
     seed_nrm = (ids * 37).astype(_U32) + f2u32(t * 1859.1467)
-    mc_pos = rand_float4(mc_table, seed_pos)
-    mc_normal_raw = rand_float4(mc_table, seed_nrm)[:, :3]
-    mc_normal = mc_normal_raw / jnp.linalg.norm(mc_normal_raw, axis=-1, keepdims=True)
-    pixel_pos = jnp.stack([px, py], axis=-1) + mc_pos[:, 2:4]  # subpixel jitter
+    _, _, pz, pw = rand_float4(table_t, seed_pos)
+    mc_normal = normalize(rand_xyz(table_t, seed_nrm))
+    px = pix_x + pz  # subpixel jitter (renderer.cl:473)
+    py = pix_y + pw
     # DOF: eyePos += mcNormal.zxy * dof (renderer.cl:474)
-    eye_pos = opts.eyePos[None, :] + mc_normal[:, (2, 0, 1)] * opts.dof
-    return {
-        "mc_pos": mc_pos,
-        "mc_normal": mc_normal,
-        "pixel_pos": pixel_pos,
-        "eye_pos": eye_pos,
-    }
-
-
-def light_seed(opts, pixel_pos):
-    """Jittered light-position seed (reference: renderer.cl:267)."""
-    return f2u32(
-        pixel_pos[:, 0] * 1957.0 + pixel_pos[:, 1] * 2173.0 + opts.time * 4763.742
+    eye = V3(
+        opts.eyePos[0] + mc_normal.z * opts.dof,
+        opts.eyePos[1] + mc_normal.x * opts.dof,
+        opts.eyePos[2] + mc_normal.y * opts.dof,
     )
+    return {"px": px, "py": py, "mc_normal": mc_normal, "eye_pos": eye}
 
 
-def ao_seed(opts, pos):
+def light_seed(opts, px, py):
+    """Jittered light-position seed (reference: renderer.cl:267) — shared by
+    all lights of a pixel (no dependence on the light index)."""
+    return f2u32(px * 1957.0 + py * 2173.0 + opts.time * 4763.742)
+
+
+def ao_seed(opts, pos: V3):
     """AO scatter seed from world position (reference: renderer.cl:334)."""
     return f2u32(
-        pos[:, 0] * 3183.75
-        + pos[:, 1] * 1831.42
-        + pos[:, 2] * 2945.87
-        + opts.time * 2671.918
+        pos.x * 3183.75 + pos.y * 1831.42 + pos.z * 2945.87 + opts.time * 2671.918
     )

@@ -4,7 +4,8 @@ Schlick, Monte-Carlo AO, and multi-bounce reflections.
 Capability parity with reference: resources/renderer.cl:259-446. Light and
 bounce loops are statically unrolled (numLights <= 4, reflectIter <= 3 in all
 presets) with per-ray active masks; every secondary raymarch passes its mask
-down so the chunked march early-exits for lanes that don't need it.
+down so the chunked march early-exits for lanes that don't need it. All
+vector state is SoA (V3 of (N,) planes — see ops/vecmath.py).
 
 Preserved reference quirks:
 * albedo is multiplied into the accumulated diffuse term INSIDE the light
@@ -21,43 +22,54 @@ import jax.numpy as jnp
 
 from . import sampling
 from .march import distance_to_scene, raymarch
-from .vecmath import dot, mix, normalize, reflect
+from .vecmath import V3, dot, mix, normalize, reflect, where3
 
 _F32 = jnp.float32
 
 
-def sky_gradient(opts, rdir):
+def sky_gradient(opts, rdir: V3) -> V3:
     """Vertical sky gradient (reference: renderer.cl:259-261)."""
-    t = (rdir[:, 1] * 0.5 + 0.5)[:, None]
-    return mix(opts.skyColor1[None, :], opts.skyColor2[None, :], t)
+    t = rdir.y * 0.5 + 0.5
+    s1, s2 = opts.skyColor1, opts.skyColor2
+    return V3(
+        s1[0] + (s2[0] - s1[0]) * t,
+        s1[1] + (s2[1] - s1[1]) * t,
+        s1[2] + (s2[2] - s1[2]) * t,
+    )
 
 
-def light_pos_jittered(opts, mc_table, pixel_pos, i):
+def light_pos_jittered(opts, table_t, px, py, i) -> V3:
     """Scattered light position (reference: renderer.cl:263-269)."""
-    seed = sampling.light_seed(opts, pixel_pos)
-    jitter = sampling.rand_float4(mc_table, seed)[:, :3]
-    return opts.lightPos[i, :3][None, :] + jitter * opts.lightScatter
+    seed = sampling.light_seed(opts, px, py)
+    j = sampling.rand_xyz(table_t, seed)
+    lp = opts.lightPos
+    return V3(
+        lp[i, 0] + j.x * opts.lightScatter,
+        lp[i, 1] + j.y * opts.lightScatter,
+        lp[i, 2] + j.z * opts.lightScatter,
+    )
 
 
-def apply_atmosphere(opts, mc_table, pixel_pos, ray_pos, ray_dir, isec_dist, col):
+def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist, col: V3) -> V3:
     """Exponential-squared fog toward the sky + per-light lens flares
     (reference: renderer.cl:275-290)."""
-    fa = (1.0 - jnp.exp(isec_dist * isec_dist * -opts.fogPow))[:, None]
+    fa = 1.0 - jnp.exp(isec_dist * isec_dist * -opts.fogPow)
     col = col + (sky_gradient(opts, ray_dir) - col) * fa
     for i in range(opts.numLights):
-        lp = light_pos_jittered(opts, mc_table, pixel_pos, i)
-        d = jnp.clip(dot(lp - ray_pos, ray_dir), 0.0, isec_dist)[:, None]
-        closest = ray_pos - lp + ray_dir * d
-        col = col + opts.lightColor[i, :3][None, :] * (
-            opts.flareAmp / dot(closest, closest)
-        )[:, None]
+        lp = light_pos_jittered(opts, table_t, px, py, i)
+        d = jnp.clip(dot(lp - ray_pos, ray_dir), 0.0, isec_dist)
+        closest = (ray_pos - lp) + ray_dir * d
+        amp = opts.flareAmp / dot(closest, closest)
+        lc = opts.lightColor
+        col = V3(
+            col.x + lc[i, 0] * amp, col.y + lc[i, 1] * amp, col.z + lc[i, 2] * amp
+        )
     return col
 
 
-def shadow(vol, opts, p, ldir, light_max_dist, active):
+def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active):
     """Hard shadow: full re-raymarch toward the light, 0/1 result
-    (reference: renderer.cl:292-301). Uses the fast-normal path budget
-    (shadowIter) and skips normal computation entirely."""
+    (reference: renderer.cl:292-301). Skips normal computation entirely."""
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False,
@@ -65,19 +77,19 @@ def shadow(vol, opts, p, ldir, light_max_dist, active):
     return (isec["distance"] >= light_max_dist).astype(_F32)
 
 
-def schlick(r0, smoothness, normal, view):
+def schlick(r0, smoothness, normal: V3, view: V3):
     """Schlick fresnel approximation (reference: renderer.cl:304-311)."""
     d = jnp.clip(1.0 - dot(normal, -view), 0.0, 1.0)
     d2 = d * d
     return jnp.where(d > 0.0, (1.0 - r0) * smoothness * d2 * d2 * d + r0, 0.0)
 
 
-def diffuse_intensity(ldir, normal):
+def diffuse_intensity(ldir: V3, normal: V3):
     """Lambert term (reference: renderer.cl:313-315)."""
     return jnp.maximum(0.0, dot(ldir, normal))
 
 
-def blinn_phong_intensity(smoothness, ray_dir, light_dir, normal):
+def blinn_phong_intensity(smoothness, ray_dir: V3, light_dir: V3, normal: V3):
     """Energy-normalized Blinn-Phong (reference: renderer.cl:317-325)."""
     nh = dot(normalize(light_dir - ray_dir), normal)
     spec_pow = jnp.exp2(6.0 * smoothness + 4.0)
@@ -85,11 +97,11 @@ def blinn_phong_intensity(smoothness, ray_dir, light_dir, normal):
     return jnp.where(nh > 0.0, val, 0.0)
 
 
-def ambient_occlusion(vol, opts, mc_table, pos, normal, active):
+def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active):
     """Monte-Carlo AO: scene marches along scatter-jittered normals with a
-    halved voxel budget (reference: renderer.cl:327-346). Statically unrolled
-    aoIter+1 rounds with the reference's `ao > 0.01` early-out as a mask."""
-    n_rays = pos.shape[0]
+    halved voxel budget (reference: renderer.cl:327-346). Statically
+    unrolled aoIter+1 rounds with the reference's `ao > 0.01` early-out."""
+    n_rays = pos.x.shape[0]
     ao = jnp.ones((n_rays,), _F32)
     seed0 = sampling.ao_seed(opts, pos)
     steps = opts.maxVoxelIter // 2
@@ -97,33 +109,43 @@ def ambient_occlusion(vol, opts, mc_table, pos, normal, active):
         act = active & (ao > 0.01)
         d = opts.aoStepDist * _F32(i + 1)
         seed = seed0 + jnp.uint32(37 * (i + 1))
-        sn = normalize(sampling.rand_float4(mc_table, seed)[:, :3] * 0.2 + normal)
-        sd = distance_to_scene(vol, opts, pos + sn * d[..., None], sn, steps, act)
+        sn = normalize(sampling.rand_xyz(table_t, seed) * 0.2 + normal)
+        sd = distance_to_scene(vol, opts, pos + sn * d, sn, steps, act)
         ao_new = ao * (1.0 - jnp.maximum((d - sd["dist"]) * opts.aoAmp / d, 0.0))
         ao = jnp.where(act, ao_new, ao)
     return ao
 
 
+def _mat_gather(opts, mat_idx):
+    """Material slot fields for per-ray indices (SoA component gathers)."""
+    alb = V3(
+        jnp.take(opts.mat_albedo[:, 0], mat_idx),
+        jnp.take(opts.mat_albedo[:, 1], mat_idx),
+        jnp.take(opts.mat_albedo[:, 2], mat_idx),
+    )
+    r0 = jnp.take(opts.mat_r0, mat_idx)
+    smoothness = jnp.take(opts.mat_smoothness, mat_idx)
+    return alb, r0, smoothness
+
+
 def object_lighting(
-    vol, opts, mc_table, pixel_pos, ray_dir, isec_pos, mat_idx, normal,
-    reflect_col, active,
+    vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
+    reflect_col: V3, active,
 ):
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
-    mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: (N, 3).
+    mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
     """
-    albedo = opts.mat_albedo[mat_idx][:, :3]
-    r0 = opts.mat_r0[mat_idx]
-    smoothness = opts.mat_smoothness[mat_idx]
+    albedo, r0, smoothness = _mat_gather(opts, mat_idx)
 
-    ao = ambient_occlusion(vol, opts, mc_table, isec_pos, normal, active)
-    diff = sky_gradient(opts, normal) * ao[:, None]
-    spec = reflect_col * ao[:, None]
-    final = jnp.zeros_like(diff)
-    fresnel = schlick(r0, smoothness, normal, ray_dir)[:, None]
+    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active)
+    diff = sky_gradient(opts, normal) * ao
+    spec = reflect_col * ao
+    final = V3.const((0.0, 0.0, 0.0), like=ao)
+    fresnel = schlick(r0, smoothness, normal, ray_dir)
 
     for i in range(opts.numLights):
-        delta = light_pos_jittered(opts, mc_table, pixel_pos, i) - isec_pos
+        delta = light_pos_jittered(opts, table_t, px, py, i) - isec_pos
         d2 = dot(delta, delta)
         att = 1.0 / d2
         in_range = att > opts.minLightAtt
@@ -134,25 +156,25 @@ def object_lighting(
             active & in_range,
         )
         lit = in_range & (sf > 0.0)
-        incident = opts.lightColor[i, :3][None, :] * (sf * att)[:, None]
-        diff = diff + jnp.where(
-            lit[:, None], diffuse_intensity(ldir, normal)[:, None] * incident, 0.0
+        gain = jnp.where(lit, sf * att, 0.0)
+        lc = opts.lightColor
+        di = diffuse_intensity(ldir, normal) * gain
+        si = blinn_phong_intensity(smoothness, ray_dir, ldir, normal) * gain
+        diff = V3(
+            diff.x + lc[i, 0] * di, diff.y + lc[i, 1] * di, diff.z + lc[i, 2] * di
         )
-        spec = spec + jnp.where(
-            lit[:, None],
-            blinn_phong_intensity(smoothness, ray_dir, ldir, normal)[:, None]
-            * incident,
-            0.0,
+        spec = V3(
+            spec.x + lc[i, 0] * si, spec.y + lc[i, 1] * si, spec.z + lc[i, 2] * si
         )
         diff = diff * albedo  # QUIRK: per-light albedo (renderer.cl:376)
         final = final + mix(diff, spec, fresnel)
-    return final / _F32(opts.numLights)
+    return final * (1.0 / _F32(opts.numLights))
 
 
-def basic_scene_color(vol, opts, mc_table, pixel_pos, ray_pos, ray_dir, active):
+def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, active):
     """One-bounce scene color for reflection rays
     (reference: renderer.cl:383-405): fast-normal raymarch, lighting with a
-    sky reflection, atmosphere. Returns (color, isec)."""
+    sky reflection, atmosphere. Returns (color V3, isec)."""
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
         smooth=False, active=active, want_normal=True,
@@ -162,21 +184,22 @@ def basic_scene_color(vol, opts, mc_table, pixel_pos, ray_pos, ray_dir, active):
     mat_idx = jnp.clip(isec["object_id"], 0, 3)
     refl_sky = sky_gradient(opts, reflect(ray_dir, isec["normal"]))
     lit = object_lighting(
-        vol, opts, mc_table, pixel_pos, ray_dir, isec["pos"], mat_idx,
+        vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
         isec["normal"], refl_sky, active & hit,
     )
-    col = jnp.where(hit[:, None], lit, sky)
+    col = where3(hit, lit, sky)
     col = apply_atmosphere(
-        opts, mc_table, pixel_pos, ray_pos, ray_dir, isec["distance"], col
+        opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
     return col, isec
 
 
-def scene_color(vol, opts, mc_table, state, ray_pos, ray_dir):
+def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3) -> V3:
     """Primary shading: smooth-normal raymarch, glossy-perturbed normal,
     optional multi-bounce reflections, lighting, atmosphere
     (reference: renderer.cl:407-446)."""
-    n_rays = ray_pos.shape[0]
+    n_rays = ray_pos.x.shape[0]
+    px, py = state["px"], state["py"]
     active = jnp.ones((n_rays,), bool)
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
@@ -185,42 +208,40 @@ def scene_color(vol, opts, mc_table, state, ray_pos, ray_dir):
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
     mat_idx = jnp.clip(isec["object_id"], 0, 3)
-    r0 = opts.mat_r0[mat_idx]
-    smoothness = opts.mat_smoothness[mat_idx]
+    _, r0, smoothness = _mat_gather(opts, mat_idx)
     # glossy perturbation, NOT re-normalized (renderer.cl:420)
-    norm_p = isec["normal"] + state["mc_normal"] / (smoothness * 200.0 + 5.0)[:, None]
+    norm_p = isec["normal"] + state["mc_normal"] * (1.0 / (smoothness * 200.0 + 5.0))
 
     if opts.reflectIter > 0:
         b_active = hit & (r0 > 0.0)
-        acc = jnp.zeros((n_rays, 3), _F32)
+        acc = V3.const((0.0, 0.0, 0.0), like=r0)
         r_dir = ray_dir
         r_pos = isec["pos"]
         r_norm = norm_p
         for _ in range(opts.reflectIter):
-            r_dir = jnp.where(b_active[:, None], reflect(r_dir, r_norm), r_dir)
+            r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
             bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
             col_i, bisec = basic_scene_color(
-                vol, opts, mc_table, state["pixel_pos"], bounce_origin, r_dir,
-                b_active,
+                vol, opts, table_t, px, py, bounce_origin, r_dir, b_active
             )
-            acc = acc + jnp.where(b_active[:, None], col_i, 0.0)
+            acc = where3(b_active, acc + col_i, acc)
             b_hit = bisec["object_id"] >= 0
-            b_r0 = opts.mat_r0[jnp.clip(bisec["object_id"], 0, 3)]
+            b_r0 = jnp.take(opts.mat_r0, jnp.clip(bisec["object_id"], 0, 3))
             b_active = b_active & b_hit & (b_r0 >= 0.001)  # renderer.cl:436-437
             r_pos = bisec["pos"]
             r_norm = bisec["normal"]
-        reflect_col = jnp.where(
-            (r0 > 0.0)[:, None], acc, sky_gradient(opts, reflect(ray_dir, norm_p))
+        reflect_col = where3(
+            r0 > 0.0, acc, sky_gradient(opts, reflect(ray_dir, norm_p))
         )
     else:
         reflect_col = sky_gradient(opts, reflect(ray_dir, norm_p))
 
     lit = object_lighting(
-        vol, opts, mc_table, state["pixel_pos"], ray_dir, isec["pos"], mat_idx,
+        vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
         norm_p, reflect_col, hit,
     )
-    col = jnp.where(hit[:, None], lit, sky)
+    col = where3(hit, lit, sky)
     col = apply_atmosphere(
-        opts, mc_table, state["pixel_pos"], ray_pos, ray_dir, isec["distance"], col
+        opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
     return col

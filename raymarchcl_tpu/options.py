@@ -52,16 +52,19 @@ class RenderOpts:
     numLights: int = struct.field(pytree_node=False)
     isoVal: int = struct.field(pytree_node=False)
     mcTableLength: int = struct.field(pytree_node=False)
+    # structural geometry constants (never animated; folding them into the
+    # compiled program as immediates keeps tiny-vector broadcasts out of the
+    # hot loops): voxel box bounds and the volume-space scale
+    voxelBounds: Tuple[float, float, float] = struct.field(pytree_node=False)
+    voxelBounds2: Tuple[float, float, float] = struct.field(pytree_node=False)
+    voxelBoundsMin: Tuple[float, float, float] = struct.field(pytree_node=False)
+    voxelBoundsMax: Tuple[float, float, float] = struct.field(pytree_node=False)
+    invVoxelScale: Tuple[float, float, float] = struct.field(pytree_node=False)
 
     # --- dynamic parameters (float32 pytree leaves) ---
     eyePos: jnp.ndarray  # (3,)
     targetPos: jnp.ndarray  # (3,)
     up: jnp.ndarray  # (3,)
-    voxelBounds: jnp.ndarray  # (3,)
-    voxelBounds2: jnp.ndarray  # (3,)
-    voxelBoundsMin: jnp.ndarray  # (3,)
-    voxelBoundsMax: jnp.ndarray  # (3,)
-    invVoxelScale: jnp.ndarray  # (3,)
     skyColor1: jnp.ndarray  # (3,)
     skyColor2: jnp.ndarray  # (3,)
     invAspect: jnp.ndarray  # ()
@@ -209,14 +212,14 @@ def render_options(
         numLights=int(d["numLights"]),
         isoVal=int(d["isoVal"]),
         mcTableLength=MC_TABLE_LENGTH,
+        voxelBounds=tuple(float(v) for v in d["voxelBounds"]),
+        voxelBounds2=tuple(float(v) for v in d["voxelBounds2"]),
+        voxelBoundsMin=tuple(float(v) for v in d["voxelBoundsMin"]),
+        voxelBoundsMax=tuple(float(v) for v in d["voxelBoundsMax"]),
+        invVoxelScale=tuple(float(v) for v in d["invVoxelScale"]),
         eyePos=_f32(d["eyePos"]),
         targetPos=_f32(d["targetPos"]),
         up=_f32(d["up"]),
-        voxelBounds=_f32(d["voxelBounds"]),
-        voxelBounds2=_f32(d["voxelBounds2"]),
-        voxelBoundsMin=_f32(d["voxelBoundsMin"]),
-        voxelBoundsMax=_f32(d["voxelBoundsMax"]),
-        invVoxelScale=_f32(d["invVoxelScale"]),
         skyColor1=_f32(d["skyColor1"]),
         skyColor2=_f32(d["skyColor2"]),
         invAspect=_f32(d["invAspect"]),

@@ -1,0 +1,86 @@
+"""Multi-chip rendering: shard the pixel grid over a device mesh.
+
+The reference is strictly single-GPU (core.clj:121-123 picks one device);
+its parallelism is one work-item per pixel. The TPU-native scale-out axis is
+the same data parallelism lifted across chips: the flat pixel axis is sharded
+over a 1-D `jax.sharding.Mesh`, the voxel volume / MC tables / options are
+replicated (a 512^3 volume is 134 MB — trivially fits per-chip HBM), and the
+only communication is the implicit all-gather of finished tiles on the way
+out. Collectives ride ICI; there is nothing to psum.
+
+Pixel identity drives the jitter seeds, so each shard renders with its
+GLOBAL pixel ids — a tiled render is bit-identical to a single-device render
+(asserted in tests/test_parallel.py on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import render as render_mod
+
+AXIS = "tiles"
+
+
+def make_mesh(devices=None, n=None):
+    """1-D pixel-tile mesh over the given (or all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _tiled_fn(mesh, opts, n_pad):
+    n_dev = mesh.devices.size
+    blk = n_pad // n_dev
+    n_pix = opts.num_pixels
+
+    def shard_body(vol, mc_tables, times, accum_blk):
+        tile = jax.lax.axis_index(AXIS)
+        ids = tile * blk + jnp.arange(blk, dtype=jnp.int32)
+        # padded tail lanes render pixel N-1 redundantly and are dropped
+        ids = jnp.minimum(ids, n_pix - 1)
+        acc = render_mod.render_accum(vol, opts, mc_tables, times, accum_blk, ids)
+        return acc, render_mod.pack_argb(opts, acc)
+
+    return jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)),
+            # the body is collective-free (tiles are embarrassingly
+            # parallel); skip the varying-manual-axes analysis, which
+            # rejects while_loop carries initialized from constants
+            check_vma=False,
+        )
+    )
+
+
+def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None):
+    """Drop-in tiled equivalent of ops.render.render_image.
+
+    Returns (argb (H, W) uint32 ndarray, accum (n_pad, 3) sharded array that
+    can be fed back in for progressive refinement).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_passes = mc_tables.shape[0]
+    if times is None:
+        times = jnp.arange(n_passes, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    n_pix = opts.num_pixels
+    n_pad = -(-n_pix // n_dev) * n_dev
+    if accum is None:
+        accum = jnp.zeros((n_pad, 3), jnp.float32)
+    accum = jax.device_put(accum, NamedSharding(mesh, P(AXIS)))
+    vol = jax.device_put(jnp.asarray(vol, jnp.uint8).reshape(-1), NamedSharding(mesh, P()))
+    fn = _tiled_fn(mesh, opts, n_pad)
+    accum, argb = fn(vol, mc_tables, times, accum)
+    w, h = opts.resolution
+    argb_host = np.asarray(argb)[:n_pix].reshape(h, w)
+    return argb_host, accum

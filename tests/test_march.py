@@ -8,6 +8,7 @@ import pytest
 import scalar_ref as S
 from raymarchcl_tpu.models import generators
 from raymarchcl_tpu.ops import march
+from raymarchcl_tpu.ops.vecmath import V3
 from raymarchcl_tpu.options import render_options
 
 
@@ -17,24 +18,29 @@ def mkopts(**kw):
     return render_options(**kw)
 
 
+def v3a(a):
+    return V3.from_array(jnp.asarray(a, jnp.float32))
+
+
 @pytest.fixture(scope="module")
 def gyro16():
     return generators.make_gyroid_volume({"vres": [16, 16, 48]})
 
 
 def test_intersects_box_cases():
-    bmin = jnp.array([-1.0, -1.0, -1.0])
-    bmax = jnp.array([1.0, 1.0, 1.0])
-    p = jnp.array(
+    bmin = (-1.0, -1.0, -1.0)
+    bmax = (1.0, 1.0, 1.0)
+    p = np.array(
         [
             [0.0, 0.0, -5.0],  # outside, hits
             [0.0, 0.0, 0.0],  # inside
             [0.0, 5.0, -5.0],  # misses above
             [0.0, 0.0, 5.0],  # behind (box opposite to dir)
-        ]
+        ],
+        np.float32,
     )
-    d = jnp.array([[0.0, 0.0, 1.0]] * 4)
-    got = np.asarray(march.intersects_box(bmin, bmax, p, d))
+    d = np.array([[0.0, 0.0, 1.0]] * 4, np.float32)
+    got = np.asarray(march.intersects_box(bmin, bmax, v3a(p), v3a(d)))
     np.testing.assert_allclose(got[0], 4.0, atol=1e-6)
     np.testing.assert_allclose(got[1], 0.0, atol=1e-6)  # inside -> a = 0
     assert got[2] == -1.0
@@ -44,7 +50,7 @@ def test_intersects_box_cases():
     rp = rng.uniform(-3, 3, (64, 3)).astype(np.float32)
     rd = rng.normal(size=(64, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
-    got = np.asarray(march.intersects_box(bmin, bmax, jnp.asarray(rp), jnp.asarray(rd)))
+    got = np.asarray(march.intersects_box(bmin, bmax, v3a(rp), v3a(rd)))
     want = [
         S.intersects_box(np.array([-1, -1, -1], np.float32), np.ones(3, np.float32), p_, d_)
         for p_, d_ in zip(rp, rd)
@@ -55,7 +61,7 @@ def test_intersects_box_cases():
 def test_voxel_lookup_bounds(gyro16):
     o = mkopts(vres=[16, 16, 48])
     vol = jnp.asarray(gyro16)
-    p = jnp.array(
+    p = np.array(
         [
             [0.5, 0.5, 0.7],  # inside
             [1.5, 0.5, 0.5],  # x out of range -> -1
@@ -63,11 +69,12 @@ def test_voxel_lookup_bounds(gyro16):
             [0.999, 0.999, 0.999],  # last voxel
             [-0.03, 0.5, 0.5],  # tiny NEGATIVE: trunc-to-zero -> q=0, IN bounds (C quirk)
             [-0.7, 0.5, 0.5],  # clearly out (q=-11)
-        ]
+        ],
+        np.float32,
     )
-    got = np.asarray(march.voxel_lookup(vol, o, p))
+    got = np.asarray(march.voxel_lookup(vol, o, jnp.asarray(p)))
     sc = S.Scene(S.opts_to_dict(o), gyro16, np.zeros((0x4000, 4), np.float32))
-    want = [sc.voxel_lookup(np.asarray(pp, np.float32)) for pp in np.asarray(p)]
+    want = [sc.voxel_lookup(pp) for pp in p]
     np.testing.assert_array_equal(got, want)
     assert got[1] == -1 and got[2] == -1
     assert got[4] >= 0  # the truncation quirk must be preserved
@@ -94,8 +101,9 @@ def test_normals_match_scalar(gyro16):
     sc = S.Scene(S.opts_to_dict(o), gyro16, np.zeros((0x4000, 4), np.float32))
     occupied = np.argwhere(gyro16.reshape(48, 16, 16) > 32)[:40]  # (z,y,x)
     q = np.stack([occupied[:, 2], occupied[:, 1], occupied[:, 0]], axis=1).astype(np.int32)
-    got_fast = np.asarray(march.voxel_normal_fast(vol, o, jnp.asarray(q)))
-    got_smooth = np.asarray(march.voxel_normal_smooth(vol, o, jnp.asarray(q)))
+    qv = V3.from_array(jnp.asarray(q))
+    got_fast = np.asarray(march.voxel_normal_fast(vol, o, qv).to_array())
+    got_smooth = np.asarray(march.voxel_normal_smooth(vol, o, qv).to_array())
     for i, qq in enumerate(q):
         want_f = S.normalize(sc.voxel_normal(qq))
         want_s = sc.voxel_normal_smooth(qq)
@@ -112,7 +120,7 @@ def test_distance_to_scene_matches_scalar(gyro16):
     rd = rng.normal(size=(128, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     active = jnp.ones((128,), bool)
-    sd = march.distance_to_scene(vol, o, jnp.asarray(rp), jnp.asarray(rd), 64, active)
+    sd = march.distance_to_scene(vol, o, v3a(rp), v3a(rd), 64, active)
     got_d = np.asarray(sd["dist"])
     got_m = np.asarray(sd["mat"])
     for i in range(128):
@@ -132,13 +140,13 @@ def test_raymarch_matches_scalar(gyro16):
     rd = rng.normal(size=(n, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     isec = march.raymarch(
-        vol, o, jnp.asarray(rp), jnp.asarray(rd), o.maxDist, o.maxIter,
+        vol, o, v3a(rp), v3a(rd), o.maxDist, o.maxIter,
         smooth=False, active=jnp.ones((n,), bool),
     )
     got_d = np.asarray(isec["distance"])
     got_id = np.asarray(isec["object_id"])
-    got_n = np.asarray(isec["normal"])
-    got_p = np.asarray(isec["pos"])
+    got_n = np.asarray(isec["normal"].to_array())
+    got_p = np.asarray(isec["pos"].to_array())
     n_loose = 0
     for i in range(n):
         ref = {}

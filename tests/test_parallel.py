@@ -1,0 +1,67 @@
+"""Multi-device tiling tests on the 8-way virtual CPU mesh: a tiled render
+must be bit-identical to the single-device render (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raymarchcl_tpu.models import generators
+from raymarchcl_tpu.ops import render as render_mod
+from raymarchcl_tpu.ops import sampling
+from raymarchcl_tpu.ops.camera import compute_eyepos
+from raymarchcl_tpu.options import render_options
+from raymarchcl_tpu.parallel import tiling
+
+
+@pytest.fixture(scope="module")
+def scene():
+    vol = jnp.asarray(generators.make_gyroid_volume({"vres": [32, 32, 96]}))
+    opts = render_options(
+        width=40, height=24, vres=[32, 32, 96], iter=2, mat="ao",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    tables = sampling.make_mc_tables(2, seed=9)
+    return vol, opts, tables
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_tiled_equals_single_device(scene, n_dev):
+    vol, opts, tables = scene
+    argb_1, accum_1 = render_mod.render_image(vol, opts, tables)
+    mesh = tiling.make_mesh(n=n_dev)
+    argb_t, _ = tiling.render_image_tiled(vol, opts, tables, mesh=mesh)
+    np.testing.assert_array_equal(argb_t, argb_1)  # bit-for-bit
+
+
+def test_tiled_padding_odd_pixel_count(scene):
+    vol, opts, tables = scene
+    # 41*23 = 943 pixels, not divisible by 8
+    opts = render_options(
+        width=41, height=23, vres=[32, 32, 96], iter=1, mat="ao",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    argb_1, _ = render_mod.render_image(vol, opts, tables[:1])
+    argb_t, _ = tiling.render_image_tiled(vol, opts, tables[:1], mesh=tiling.make_mesh())
+    np.testing.assert_array_equal(argb_t, argb_1)
+
+
+def test_tiled_progressive_accum(scene):
+    """Feeding the sharded accum back refines like the single-device path."""
+    vol, opts, tables = scene
+    mesh = tiling.make_mesh()
+    argb_a, accum = tiling.render_image_tiled(vol, opts, tables[:1], mesh=mesh)
+    argb_b, _ = tiling.render_image_tiled(
+        vol, opts, tables[1:], times=jnp.array([0.333]), accum=accum, mesh=mesh
+    )
+    _, accum_1 = render_mod.render_image(vol, opts, tables[:1])
+    argb_1, _ = render_mod.render_image(
+        vol, opts, tables[1:], times=jnp.array([0.333]), accum=accum_1
+    )
+    np.testing.assert_array_equal(argb_b, argb_1)

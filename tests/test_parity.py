@@ -35,10 +35,11 @@ def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.02):
     )
     n = w * h
     ids = jnp.arange(n, dtype=jnp.int32)
-    state = init_render_state(opts, jnp.asarray(table), ids)
+    table_t = sampling.transpose_table(jnp.asarray(table))
+    state = init_render_state(opts, table_t, ids)
     ray_pos, ray_dir = camera_ray_lookat(opts, state)
     got = np.asarray(
-        scene_color(jnp.asarray(vol), opts, jnp.asarray(table), state, ray_pos, ray_dir)
+        scene_color(jnp.asarray(vol), opts, table_t, state, ray_pos, ray_dir).to_array()
     )
     sc = S.Scene(S.opts_to_dict(opts), vol, table)
     bad = 0
