@@ -88,6 +88,8 @@ def make_terrain(opts_or_vres) -> np.ndarray:
     """Walls + sinusoidal pillar terrain demo volume
     (reference: generators.clj:44-60). Vectorized numpy."""
     rx, ry, rz = _vres3(opts_or_vres)
+    if _native is not None and _native.available():
+        return _native.terrain_volume(rx, ry, rz)
     vox = np.zeros((rz, ry, rx), dtype=np.uint8)
     wall_y = int(ry * 0.666)
     # wall 1: vox[z, y, x] = 64 for z<4 (generators.clj:50)

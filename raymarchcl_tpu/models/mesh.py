@@ -17,6 +17,11 @@ import struct as _struct
 
 import numpy as np
 
+try:  # native C++ fast path (optional)
+    from ..native import binding as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 def read_stl(path) -> np.ndarray:
     """Minimal binary+ASCII STL reader -> unique vertex array (V, 3) f32
@@ -49,20 +54,29 @@ def read_stl(path) -> np.ndarray:
 load_mesh = read_stl  # reference name (meshvoxel.clj:12-14)
 
 
-def mesh_scale(vertices: np.ndarray, res: int):
-    """Fit-to-grid transform (reference: meshvoxel.clj:16-23): bbox-fit the
-    largest extent to `res` and center the others. Returns (V,3)->(V,3) fn."""
-    p = vertices.min(axis=0)
+def _scale_params(vertices: np.ndarray, res: int):
+    """(off, pmin, scale) of the fit-to-grid transform
+    (reference: meshvoxel.clj:16-23): v -> off + (v - pmin) * scale."""
+    p = vertices.min(axis=0).astype(np.float64)
     size = vertices.max(axis=0) - p
     md = float(size.max())
     off = 0.5 * res * (1.0 - size / md)
-    s = res / md
+    return off, p, res / md
+
+
+def mesh_scale(vertices: np.ndarray, res: int):
+    """Fit-to-grid transform (reference: meshvoxel.clj:16-23): bbox-fit the
+    largest extent to `res` and center the others. Returns (V,3)->(V,3) fn."""
+    off, p, s = _scale_params(vertices, res)
     return lambda v: off + (np.asarray(v, np.float64) - p) * s
 
 
 def voxelize(vertices, res) -> np.ndarray:
     """Point-stamp voxelizer (reference: meshvoxel.clj:60-69): one voxel of
     255 per in-bounds vertex, z-major index."""
+    if _native is not None and _native.available():
+        off, pmin, s = _scale_params(vertices, res)
+        return _native.voxelize_points(vertices, res, off, pmin, s)
     scale = mesh_scale(vertices, res)
     q = scale(vertices).astype(np.int64)
     m = ((q >= 0) & (q < res)).all(axis=1)
@@ -75,6 +89,9 @@ def voxelize(vertices, res) -> np.ndarray:
 def voxelize_ks(vertices, res, ks) -> np.ndarray:
     """Kernel-size dilation voxelizer (reference: meshvoxel.clj:45-58):
     stamp a clipped (2ks+1)^3 cube of 255 around each vertex."""
+    if _native is not None and _native.available():
+        off, pmin, s = _scale_params(vertices, res)
+        return _native.voxelize_ks(vertices, res, ks, off, pmin, s)
     scale = mesh_scale(vertices, res)
     q = scale(vertices).astype(np.int64)
     vox = np.zeros(res * res * res, dtype=np.uint8)

@@ -1,0 +1,82 @@
+"""Native C++ data-pipeline tests: the OpenMP paths must agree with the
+pure numpy/jnp reference paths bit-for-bit (modulo float-boundary voxels for
+the transcendental-heavy gyroid)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from raymarchcl_tpu.native import binding
+
+pytestmark = pytest.mark.skipif(
+    not binding.available(), reason="native lib not built (no toolchain?)"
+)
+
+
+def _pure(monkeypatch_module, fn, *args, **kw):
+    """Run a generator with the native path disabled."""
+    import raymarchcl_tpu.models.generators as g
+    import raymarchcl_tpu.models.mesh as m
+
+    old_g, old_m = g._native, m._native
+    g._native = m._native = None
+    try:
+        return fn(*args, **kw)
+    finally:
+        g._native, m._native = old_g, old_m
+
+
+def test_gyroid_native_vs_jnp():
+    from raymarchcl_tpu.models import generators
+
+    a = binding.gyroid_volume(16, 16, 48, 0.01 * 512 / 16)
+    b = _pure(None, generators.make_gyroid_volume, {"vres": [16, 16, 48]})
+    # float32 (jnp) vs float64 (C) can flip exact-threshold voxels
+    assert np.mean(a != b) < 0.002
+
+
+def test_terrain_native_vs_numpy():
+    from raymarchcl_tpu.models import generators
+
+    a = binding.terrain_volume(40, 40, 40)
+    b = _pure(None, generators.make_terrain, {"vres": [40, 40, 40]})
+    np.testing.assert_array_equal(a, b)
+
+
+def test_voxelizers_native_vs_numpy():
+    from raymarchcl_tpu.models import mesh
+
+    rng = np.random.default_rng(3)
+    verts = rng.uniform(-1, 2, (500, 3)).astype(np.float32)
+    a = mesh.voxelize(verts, 32)
+    b = _pure(None, mesh.voxelize, verts, 32)
+    np.testing.assert_array_equal(a, b)
+    a = mesh.voxelize_ks(verts, 32, 2)
+    b = _pure(None, mesh.voxelize_ks, verts, 32, 2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_vox_io_native_roundtrip(tmp_path):
+    vox = np.random.default_rng(0).integers(0, 256, 3 * 4 * 5, dtype=np.uint8)
+    p = str(tmp_path / "n.vox")
+    binding.save_volume(p, 3, 4, 5, vox)
+    out, res = binding.load_volume(p)
+    assert res == (3, 4, 5)
+    np.testing.assert_array_equal(out, vox)
+    # cross-check with the python reader
+    import raymarchcl_tpu.io.voxio as vio
+
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert raw[:5] == b"VOXEL"
+
+
+def test_native_is_fast_for_512():
+    import time
+
+    t0 = time.perf_counter()
+    vox = binding.gyroid_volume(256, 256, 256, 0.02)
+    dt = time.perf_counter() - t0
+    assert vox.size == 256**3
+    assert dt < 10.0  # reference took minutes at 512^3 single-threaded
