@@ -1,1 +1,1 @@
-from . import imageio, voxio
+from . import checkpoint, imageio, voxio
