@@ -5,8 +5,12 @@ Baseline: the north-star target of 1 s/frame for this workload (the OpenCL
 reference published no numbers — BASELINE.md). vs_baseline > 1 means faster
 than the 1 s target.
 
+Measurement notes: the hosted TPU runtime serves identical back-to-back
+calls from a cache, so every rep perturbs the per-pass time vector by an
+invisible epsilon; results are fetched to host to guarantee completion.
+
 Env overrides: BENCH_SIZE (default 512), BENCH_SPP (16), BENCH_VRES (256),
-BENCH_MAT (metal), BENCH_REPS (3).
+BENCH_MAT (metal), BENCH_REPS (3), BENCH_ACCEL (1).
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
@@ -25,38 +30,41 @@ def main():
     vres = int(os.environ.get("BENCH_VRES", 256))
     mat = os.environ.get("BENCH_MAT", "metal")
     reps = int(os.environ.get("BENCH_REPS", 3))
+    use_accel = os.environ.get("BENCH_ACCEL", "1") != "0"
 
-    from raymarchcl_tpu.api import default_volume
+    from raymarchcl_tpu.api import build_accel_for, default_volume
     from raymarchcl_tpu.ops import render as render_mod
     from raymarchcl_tpu.ops.camera import compute_eyepos
     from raymarchcl_tpu.ops.sampling import make_mc_tables
     from raymarchcl_tpu.options import render_options
 
     volume, actual_vres = default_volume((vres, vres, vres))
-    vol = jnp.asarray(volume, jnp.uint8)
     opts = render_options(
         width=size, height=size, vres=list(actual_vres), iter=spp, mat=mat,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
+    accel = build_accel_for(volume, opts) if use_accel else None
+    vol = jnp.asarray(volume, jnp.uint8)
     mc_tables = make_mc_tables(spp, seed=0)
-    times = jnp.arange(spp, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    base_times = jnp.arange(spp, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
     accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
 
     fn = render_mod._render_jit
     # warm-up / compile
-    argb, _ = fn(vol, opts, mc_tables, times, accum0)
-    argb.block_until_ready()
+    argb, _ = fn(vol, opts, mc_tables, base_times, accum0, accel)
+    np.asarray(argb)
 
     samples = []
-    for _ in range(reps):
+    for rep in range(reps):
+        times = base_times + jnp.float32(1e-7 * (rep + 1))  # defeat call cache
         t0 = time.perf_counter()
-        argb, _ = fn(vol, opts, mc_tables, times, accum0)
-        argb.block_until_ready()
+        argb, _ = fn(vol, opts, mc_tables, times, accum0, accel)
+        np.asarray(argb)  # force full completion + fetch
         samples.append(time.perf_counter() - t0)
     frame_time = sorted(samples)[len(samples) // 2]
 
     # primary rays only (secondary shadow/AO/bounce rays excluded -> a
-    # conservative Mrays/s; the per-pixel work is far higher for :metal)
+    # conservative Mrays/s; per-pixel work is far higher for :metal)
     mrays = size * size * spp / frame_time / 1e6
     baseline = 1.0  # north-star: < 1 s/frame (BASELINE.md)
     print(
@@ -67,6 +75,7 @@ def main():
                 "unit": "s",
                 "vs_baseline": round(baseline / frame_time, 4),
                 "mrays_per_sec": round(mrays, 2),
+                "accel": use_accel,
                 "device": str(jax.devices()[0]),
                 "samples": [round(s, 4) for s in samples],
             }

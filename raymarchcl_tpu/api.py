@@ -58,15 +58,28 @@ def load_or_generate_volume(vname, vres, kind="gyroid"):
     return default_volume(vres, kind=kind)
 
 
-def render_frame(volume, vres, *, iter=1, seed=0, times=None, accum=None, **opt_kwargs):
+def render_frame(
+    volume, vres, *, iter=1, seed=0, times=None, accum=None, accel=True, **opt_kwargs
+):
     """Mid-level entry: render a frame from an explicit volume.
 
-    Returns (argb (H,W) uint32 ndarray, accum (N,3) jnp array).
+    accel=True builds the empty-space-skip mip (ops/accel.py) — output is
+    bit-identical either way. Returns (argb (H,W) uint32, accum (N,3)).
     """
     opts = render_options(vres=list(vres), iter=iter, **opt_kwargs)
     mc_tables = make_mc_tables(iter, seed=seed)
+    acc = build_accel_for(volume, opts) if accel else None
     vol = jnp.asarray(volume, dtype=jnp.uint8).reshape(-1)
-    return render_mod.render_image(vol, opts, mc_tables, times=times, accum=accum)
+    return render_mod.render_image(
+        vol, opts, mc_tables, times=times, accum=accum, accel=acc
+    )
+
+
+def build_accel_for(volume, opts):
+    """Empty-space-skip mip for a volume (see ops/accel.py)."""
+    from .ops.accel import build_accel
+
+    return build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
 
 
 def test_render(
@@ -128,6 +141,7 @@ def test_anim(
     accum = None
     mc_tables = make_mc_tables(iter, seed=seed)
     vol = jnp.asarray(volume, dtype=jnp.uint8).reshape(-1)
+    acc = None
     times = jnp.arange(iter, dtype=jnp.float32) * render_mod.TIME_STEP_ANIM
     paths = []
     for frame in range(frames):
@@ -151,7 +165,11 @@ def test_anim(
         )
         if accum is None:
             accum = jnp.zeros((opts.num_pixels, 3), jnp.float32)
-        argb, accum = render_mod.render_image(vol, opts, mc_tables, times, accum)
+        if acc is None:
+            acc = build_accel_for(volume, opts)
+        argb, accum = render_mod.render_image(
+            vol, opts, mc_tables, times, accum, accel=acc
+        )
         out = os.path.join(out_dir, f"frame-{frame:04d}.png")
         imageio.save_png(np.asarray(argb), out)
         paths.append(out)

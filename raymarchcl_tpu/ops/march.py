@@ -37,9 +37,10 @@ import numpy as np
 
 from .vecmath import V3, dot, norm, normalize, where3
 
-# Samples gathered per ray per round of the fixed-step march. 8 sublanes x
-# full lanes is the natural (CH, N) tile height; 16 halves round count for
-# long marches at 2x the speculative work — 8 wins for secondary rays.
+# Samples gathered per ray per round of the fixed-step march: (CH, N)
+# planes, CH a multiple of the 8-sublane tile height. 16 balances round
+# count for long marches against speculative over-sampling for secondary
+# rays that stop immediately.
 MARCH_CHUNK = 16
 
 _I32 = jnp.int32
@@ -176,7 +177,10 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
     return normalize(nv)
 
 
-def march_volume(vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK):
+def march_volume(
+    vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK,
+    accel=None, probes=3,
+):
     """Fixed-step march through normalized volume space
     (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
     leaves the grid (break) or exceeds isoVal (hit).
@@ -186,27 +190,47 @@ def march_volume(vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK)
     stopped. Returns (hit (N,) bool, hit_k (N,) int32); the hit voxel VALUE
     is re-fetched by the caller from hit_k (one (N,) gather) instead of
     being threaded through the loop.
+
+    With `accel` (ops/accel.Accel), each round is preceded by `probes`
+    cheap mip lookups that jump rays through provably-empty blocks — the
+    per-ray step index k becomes variable, but every evaluated/skipped
+    sample resolves identically, so output is bit-equal to accel=None.
     """
+    from . import accel as accel_mod
+
     n = p0.x.shape[0]
     n_rounds = -(-steps // chunk)
     iso = _I32(opts.isoVal)
     ks = jnp.arange(chunk, dtype=_F32)[:, None]  # (CH, 1)
     ksi = jnp.arange(chunk, dtype=_I32)[:, None]
+    if accel is not None:
+        jump = accel_mod.skip_steps(accel, opts, delta)  # (N,) i32
+        can_skip = jump >= 1
 
     def cond(c):
         return (c[0] < n_rounds) & jnp.any(c[1])
 
     def body(c):
-        i, act, hit, hit_k = c
-        base = i * chunk
-        kk = base.astype(_F32) + ks  # (CH, 1)
+        i, act, k, hit, hit_k = c
+        if accel is not None:
+            for _ in range(probes):
+                kf = k.astype(_F32)
+                empty = accel_mod.probe_empty(
+                    accel, opts,
+                    p0.x + delta.x * kf,
+                    p0.y + delta.y * kf,
+                    p0.z + delta.z * kf,
+                    act & can_skip & (k < steps),
+                )
+                k = jnp.where(empty, k + jump, k)
+        kk = k.astype(_F32)[None, :] + ks  # (CH, N)
         p = V3(
             p0.x[None, :] + delta.x[None, :] * kk,
             p0.y[None, :] + delta.y[None, :] * kk,
             p0.z[None, :] + delta.z[None, :] * kk,
         )
         v, _ = voxel_fetch(vol, opts, voxel_coord(opts, p))  # (CH, N)
-        valid_k = (base + ksi) < steps
+        valid_k = (k[None, :] + ksi) < steps
         oob = (v < 0) & valid_k
         hitm = (v > iso) & valid_k
         any_oob = jnp.any(oob, axis=0)
@@ -217,19 +241,27 @@ def march_volume(vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK)
         first = jnp.where(is_hit, first_hit, first_oob)
         any_stop = any_oob | any_hit
         newly = act & any_stop
+        k_next = k + chunk
         return (
             i + 1,
-            act & ~any_stop,
+            act & ~any_stop & (k_next < steps),
+            k_next,
             jnp.where(newly, is_hit, hit),
-            jnp.where(newly, base + first, hit_k),
+            jnp.where(newly, k + first, hit_k),
         )
 
-    init = (_I32(0), active, jnp.zeros((n,), bool), jnp.zeros((n,), _I32))
-    _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
+    init = (
+        _I32(0),
+        active,
+        jnp.zeros((n,), _I32),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n,), _I32),
+    )
+    _, _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK, accel=None):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
@@ -256,7 +288,7 @@ def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_
         (rpos.z + vb[2] + rdir.z * adv) * inv_s[2],
     )
 
-    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk)
+    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk, accel)
     kf = hit_k.astype(_F32)
     hit_p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, hit_p)
@@ -303,6 +335,7 @@ def raymarch(
     active,
     want_normal=True,
     chunk=MARCH_CHUNK,
+    accel=None,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
@@ -335,7 +368,7 @@ def raymarch(
     def body(c):
         a = c["active"]
         pos = ray_pos + ray_dir * c["dist"]
-        sd = distance_to_scene(vol, opts, pos, ray_dir, opts.maxVoxelIter, a, chunk)
+        sd = distance_to_scene(vol, opts, pos, ray_dir, opts.maxVoxelIter, a, chunk, accel)
         done = (jnp.abs(sd["dist"]) <= opts.eps) | (c["dist"] >= max_dist)
         qi = sd["q"]
         return {

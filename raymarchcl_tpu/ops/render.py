@@ -29,7 +29,7 @@ TIME_STEP_INIT = 0.333
 TIME_STEP_ANIM = 0.3333
 
 
-def render_pass(vol, opts, mc_table, accum, ids=None):
+def render_pass(vol, opts, mc_table, accum, ids=None, accel=None):
     """One full-supersample pass blended into the accumulation buffer
     (reference: renderer.cl:478-494). accum: (N, 3) float32.
 
@@ -44,13 +44,13 @@ def render_pass(vol, opts, mc_table, accum, ids=None):
     table_t = transpose_table(mc_table)
     state = init_render_state(opts, table_t, ids)
     ray_pos, ray_dir = camera_ray_lookat(opts, state)
-    col = scene_color(vol, opts, table_t, state, ray_pos, ray_dir)
+    col = scene_color(vol, opts, table_t, state, ray_pos, ray_dir, accel)
     col = col * opts.exposure
     col_a = col.to_array()
     return accum + (col_a - accum) * opts.frameBlend
 
 
-def render_accum(vol, opts, mc_tables, times, accum, ids=None):
+def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     """All spp passes via lax.scan (reference loop: core.clj:83-90).
 
     mc_tables: (iter, tableLen, 4); times: (iter,). The pass count is the
@@ -59,7 +59,7 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None):
 
     def step(acc, xs):
         t, table = xs
-        return render_pass(vol, opts.replace(time=t), table, acc, ids), None
+        return render_pass(vol, opts.replace(time=t), table, acc, ids, accel), None
 
     accum, _ = jax.lax.scan(step, accum, (times, mc_tables))
     return accum
@@ -85,7 +85,7 @@ def pack_argb(opts, accum):
     )
 
 
-def render_image(vol, opts, mc_tables, times=None, accum=None):
+def render_image(vol, opts, mc_tables, times=None, accum=None, accel=None):
     """End-to-end frame: spp passes + tonemap.
 
     Returns (argb (H, W) uint32, accum (N, 3) float32). `accum` may be passed
@@ -97,12 +97,12 @@ def render_image(vol, opts, mc_tables, times=None, accum=None):
         times = (jnp.arange(n_passes, dtype=_F32) * TIME_STEP_INIT)
     if accum is None:
         accum = jnp.zeros((opts.num_pixels, 3), _F32)
-    argb, accum = _render_jit(vol, opts, mc_tables, times, accum)
+    argb, accum = _render_jit(vol, opts, mc_tables, times, accum, accel)
     w, h = opts.resolution
     return np.asarray(argb).reshape(h, w), accum
 
 
 @jax.jit
-def _render_jit(vol, opts, mc_tables, times, accum):
-    accum = render_accum(vol, opts, mc_tables, times, accum)
+def _render_jit(vol, opts, mc_tables, times, accum, accel=None):
+    accum = render_accum(vol, opts, mc_tables, times, accum, accel=accel)
     return pack_argb(opts, accum), accum

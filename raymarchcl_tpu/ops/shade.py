@@ -67,12 +67,12 @@ def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist,
     return col
 
 
-def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active):
+def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None):
     """Hard shadow: full re-raymarch toward the light, 0/1 result
     (reference: renderer.cl:292-301). Skips normal computation entirely."""
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
-        smooth=False, active=active, want_normal=False,
+        smooth=False, active=active, want_normal=False, accel=accel,
     )
     return (isec["distance"] >= light_max_dist).astype(_F32)
 
@@ -97,7 +97,7 @@ def blinn_phong_intensity(smoothness, ray_dir: V3, light_dir: V3, normal: V3):
     return jnp.where(nh > 0.0, val, 0.0)
 
 
-def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active):
+def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=None):
     """Monte-Carlo AO: scene marches along scatter-jittered normals with a
     halved voxel budget (reference: renderer.cl:327-346). Statically
     unrolled aoIter+1 rounds with the reference's `ao > 0.01` early-out."""
@@ -110,7 +110,7 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active):
         d = opts.aoStepDist * _F32(i + 1)
         seed = seed0 + jnp.uint32(37 * (i + 1))
         sn = normalize(sampling.rand_xyz(table_t, seed) * 0.2 + normal)
-        sd = distance_to_scene(vol, opts, pos + sn * d, sn, steps, act)
+        sd = distance_to_scene(vol, opts, pos + sn * d, sn, steps, act, accel=accel)
         ao_new = ao * (1.0 - jnp.maximum((d - sd["dist"]) * opts.aoAmp / d, 0.0))
         ao = jnp.where(act, ao_new, ao)
     return ao
@@ -130,7 +130,7 @@ def _mat_gather(opts, mat_idx):
 
 def object_lighting(
     vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
-    reflect_col: V3, active,
+    reflect_col: V3, active, accel=None,
 ):
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
@@ -138,7 +138,7 @@ def object_lighting(
     """
     albedo, r0, smoothness = _mat_gather(opts, mat_idx)
 
-    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active)
+    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     diff = sky_gradient(opts, normal) * ao
     spec = reflect_col * ao
     final = V3.const((0.0, 0.0, 0.0), like=ao)
@@ -153,7 +153,7 @@ def object_lighting(
         lmax = jnp.minimum(jnp.sqrt(d2) - opts.shadowBias, opts.maxDist)
         sf = shadow(
             vol, opts, isec_pos + ldir * opts.shadowBias, ldir, lmax,
-            active & in_range,
+            active & in_range, accel,
         )
         lit = in_range & (sf > 0.0)
         gain = jnp.where(lit, sf * att, 0.0)
@@ -171,13 +171,13 @@ def object_lighting(
     return final * (1.0 / _F32(opts.numLights))
 
 
-def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, active):
+def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, active, accel=None):
     """One-bounce scene color for reflection rays
     (reference: renderer.cl:383-405): fast-normal raymarch, lighting with a
     sky reflection, atmosphere. Returns (color V3, isec)."""
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
-        smooth=False, active=active, want_normal=True,
+        smooth=False, active=active, want_normal=True, accel=accel,
     )
     sky = sky_gradient(opts, ray_dir)
     hit = isec["object_id"] >= 0
@@ -185,7 +185,7 @@ def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, acti
     refl_sky = sky_gradient(opts, reflect(ray_dir, isec["normal"]))
     lit = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
-        isec["normal"], refl_sky, active & hit,
+        isec["normal"], refl_sky, active & hit, accel,
     )
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
@@ -194,7 +194,7 @@ def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, acti
     return col, isec
 
 
-def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3) -> V3:
+def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3, accel=None) -> V3:
     """Primary shading: smooth-normal raymarch, glossy-perturbed normal,
     optional multi-bounce reflections, lighting, atmosphere
     (reference: renderer.cl:407-446)."""
@@ -203,7 +203,7 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3) -> V3:
     active = jnp.ones((n_rays,), bool)
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
-        smooth=True, active=active, want_normal=True,
+        smooth=True, active=active, want_normal=True, accel=accel,
     )
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
@@ -222,7 +222,7 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3) -> V3:
             r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
             bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
             col_i, bisec = basic_scene_color(
-                vol, opts, table_t, px, py, bounce_origin, r_dir, b_active
+                vol, opts, table_t, px, py, bounce_origin, r_dir, b_active, accel
             )
             acc = where3(b_active, acc + col_i, acc)
             b_hit = bisec["object_id"] >= 0
@@ -238,7 +238,7 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3) -> V3:
 
     lit = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
-        norm_p, reflect_col, hit,
+        norm_p, reflect_col, hit, accel,
     )
     col = where3(hit, lit, sky)
     col = apply_atmosphere(

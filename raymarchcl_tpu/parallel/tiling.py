@@ -39,19 +39,21 @@ def _tiled_fn(mesh, opts, n_pad):
     blk = n_pad // n_dev
     n_pix = opts.num_pixels
 
-    def shard_body(vol, mc_tables, times, accum_blk):
+    def shard_body(vol, mc_tables, times, accum_blk, accel):
         tile = jax.lax.axis_index(AXIS)
         ids = tile * blk + jnp.arange(blk, dtype=jnp.int32)
         # padded tail lanes render pixel N-1 redundantly and are dropped
         ids = jnp.minimum(ids, n_pix - 1)
-        acc = render_mod.render_accum(vol, opts, mc_tables, times, accum_blk, ids)
+        acc = render_mod.render_accum(
+            vol, opts, mc_tables, times, accum_blk, ids, accel
+        )
         return acc, render_mod.pack_argb(opts, acc)
 
     return jax.jit(
         jax.shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(AXIS)),
+            in_specs=(P(), P(), P(), P(AXIS), P()),
             out_specs=(P(AXIS), P(AXIS)),
             # the body is collective-free (tiles are embarrassingly
             # parallel); skip the varying-manual-axes analysis, which
@@ -61,7 +63,7 @@ def _tiled_fn(mesh, opts, n_pad):
     )
 
 
-def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None):
+def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None, accel=None):
     """Drop-in tiled equivalent of ops.render.render_image.
 
     Returns (argb (H, W) uint32 ndarray, accum (n_pad, 3) sharded array that
@@ -80,7 +82,7 @@ def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None):
     accum = jax.device_put(accum, NamedSharding(mesh, P(AXIS)))
     vol = jax.device_put(jnp.asarray(vol, jnp.uint8).reshape(-1), NamedSharding(mesh, P()))
     fn = _tiled_fn(mesh, opts, n_pad)
-    accum, argb = fn(vol, mc_tables, times, accum)
+    accum, argb = fn(vol, mc_tables, times, accum, accel)
     w, h = opts.resolution
     argb_host = np.asarray(argb)[:n_pix].reshape(h, w)
     return argb_host, accum

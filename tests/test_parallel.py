@@ -52,6 +52,18 @@ def test_tiled_padding_odd_pixel_count(scene):
     np.testing.assert_array_equal(argb_t, argb_1)
 
 
+def test_tiled_with_accel_bit_equal(scene):
+    vol, opts, tables = scene
+    from raymarchcl_tpu.ops.accel import build_accel
+
+    acc = build_accel(np.asarray(vol), opts.voxelRes, opts.isoVal, block_log2=4)
+    argb_1, _ = render_mod.render_image(vol, opts, tables)
+    argb_t, _ = tiling.render_image_tiled(
+        vol, opts, tables, mesh=tiling.make_mesh(), accel=acc
+    )
+    np.testing.assert_array_equal(argb_t, argb_1)
+
+
 def test_tiled_progressive_accum(scene):
     """Feeding the sharded accum back refines like the single-device path."""
     vol, opts, tables = scene
