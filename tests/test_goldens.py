@@ -1,0 +1,90 @@
+"""Golden-image regression tests.
+
+The reference has only lossy JPEG gallery shots rendered with a
+nondeterministic host RNG (SURVEY.md §4), so goldens here are
+self-generated: small deterministic renders (threefry-seeded MC tables)
+committed under tests/goldens/. Comparison is tolerance-based (mean
+absolute channel difference) so minor backend/version float drift doesn't
+break the suite, while real shading regressions (wrong lights, broken
+normals, quirk fixes that shouldn't happen) do.
+
+Regenerate after INTENTIONAL image-changing work:
+    python tests/test_goldens.py regen
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from raymarchcl_tpu import api
+from raymarchcl_tpu.io import imageio
+from raymarchcl_tpu.models import generators
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+CASES = {
+    "gyroid-ao": dict(
+        width=64, height=48, iter=2, vres=48, mat="ao", theta=135, dist=2.25,
+    ),
+    "gyroid-metal": dict(
+        width=48, height=32, iter=1, vres=48, mat="metal", theta=135, dist=2.25,
+    ),
+    "gyroid-orange": dict(
+        width=48, height=32, iter=1, vres=48, mat="orange-stripes", theta=60,
+        dist=2.25,
+    ),
+    "gyroid-dof": dict(
+        width=48, height=32, iter=2, vres=48, mat="metal2", theta=135, dist=2.25,
+        dof=0.05,
+    ),
+}
+BUDGETS = dict(maxIter=32, maxVoxelIter=64, shadowIter=32)
+
+
+def _render(name):
+    cfg = dict(CASES[name])
+    cfg.update(BUDGETS)
+    return api.test_render(out_path=None, seed=7, verbose=False, **cfg)
+
+
+def _golden_path(name):
+    return os.path.join(GOLDEN_DIR, f"{name}.png")
+
+
+def _load_golden(name):
+    from PIL import Image
+
+    rgba = np.asarray(Image.open(_golden_path(name)).convert("RGBA"))
+    return rgba
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_golden(name):
+    if not os.path.exists(_golden_path(name)):
+        pytest.skip("golden not generated yet (run: python tests/test_goldens.py regen)")
+    got = imageio.argb_to_rgba(_render(name)).astype(np.int32)
+    want = _load_golden(name).astype(np.int32)
+    assert got.shape == want.shape
+    mad = np.abs(got[..., :3] - want[..., :3]).mean()
+    frac_off = (np.abs(got[..., :3] - want[..., :3]) > 8).mean()
+    assert mad < 1.5, f"{name}: mean abs diff {mad:.2f}"
+    assert frac_off < 0.01, f"{name}: {frac_off:.3%} pixels off by >8"
+
+
+def regen():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in sorted(CASES):
+        argb = _render(name)
+        imageio.save_png(argb, _golden_path(name))
+        print(f"wrote {_golden_path(name)}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        regen()
