@@ -43,6 +43,10 @@ from .vecmath import V3, dot, norm, normalize, where3
 # rays that stop immediately.
 MARCH_CHUNK = 16
 
+# Ground-only sphere-trace steps executed per raymarch round for rays whose
+# line misses the voxel box (see raymarch docstring).
+GROUND_STEPS = 16
+
 _I32 = jnp.int32
 _F32 = jnp.float32
 
@@ -261,7 +265,7 @@ def march_volume(
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK, accel=None):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK, accel=None, idist=None):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
@@ -274,7 +278,8 @@ def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_
     # ground's "material" its own distance (renderer.cl:211)
     res_d, res_m = dist_union(gd, gd, jnp.full_like(gd, 1e5), jnp.full_like(gd, -1.0))
 
-    idist = intersects_box(_np3(opts.voxelBoundsMin), _np3(opts.voxelBoundsMax), rpos, rdir)
+    if idist is None:
+        idist = intersects_box(_np3(opts.voxelBoundsMin), _np3(opts.voxelBoundsMax), rpos, rdir)
     march_mask = active & (idist >= 0.0) & (idist < res_d)
 
     inv_s = _np3(opts.invVoxelScale)
@@ -347,12 +352,23 @@ def raymarch(
     converged (|d| <= eps), escaped (>= max_dist), or the budget ran out;
     misses rewrite to objectID=-1 / distance=1000 (renderer.cl:252-256).
     Normals resolve once post-loop from the tracked hit voxel.
+
+    Ground-tail fast path: rays whose LINE misses the voxel box
+    (intersectsBox < 0 — permanent once true) have a purely scalar scene
+    distance (the ground plane), so instead of one sphere-trace step per
+    round they iterate GROUND_STEPS steps of the exact same recurrence in
+    cheap unrolled (N,) math — replicating the reference's per-step ops
+    bit-for-bit while collapsing the long convergence tail of grazing
+    ground/sky rays. Per-ray step counters keep the maxIter budget exact.
     """
     n = ray_pos.x.shape[0]
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
+    bmin = _np3(opts.voxelBoundsMin)
+    bmax = _np3(opts.voxelBoundsMax)
 
     carry = {
-        "step": _I32(0),
+        "round": _I32(0),
+        "s": jnp.zeros((n,), _I32),  # per-ray steps consumed
         "active": active,
         "dist": jnp.broadcast_to(opts.startDist, (n,)).astype(_F32),
         "obj": jnp.zeros((n,), _I32),
@@ -363,28 +379,71 @@ def raymarch(
     }
 
     def cond(c):
-        return (c["step"] < max_steps) & jnp.any(c["active"])
+        # every active ray consumes >= 1 step per round, so the round count
+        # is bounded by max_steps
+        return (c["round"] < max_steps) & jnp.any(c["active"])
+
+    def one_ground_step(a, c):
+        """One exact sphere-trace step against the ground only (the full
+        path's behavior when the box test fails, renderer.cl:211-214 with
+        no march). Re-checks the box test per step: a ray below ground
+        steps BACKWARD (gd < 0) and can bring the box ahead again, at which
+        point it must leave the fast path."""
+        pos = ray_pos + ray_dir * c["dist"]
+        a = a & (intersects_box(bmin, bmax, pos, ray_dir) < 0.0)
+        gd = pos.y + opts.groundY
+        res_d, res_m = dist_union(
+            gd, gd, jnp.full_like(gd, 1e5), jnp.full_like(gd, -1.0)
+        )
+        done = (jnp.abs(res_d) <= opts.eps) | (c["dist"] >= max_dist)
+        s = jnp.where(a, c["s"] + 1, c["s"])
+        return {
+            "round": c["round"],
+            "s": s,
+            "active": c["active"] & ~(a & (done | (s >= max_steps))),
+            "dist": jnp.where(a & ~done, c["dist"] + res_d, c["dist"]),
+            "obj": jnp.where(a, res_m.astype(_I32), c["obj"]),
+            "pos": where3(a, pos, c["pos"]),
+            "hit": jnp.where(a, False, c["hit"]),
+            "q": c["q"],
+            "gd": jnp.where(a, gd, c["gd"]),
+        }
 
     def body(c):
         a = c["active"]
         pos = ray_pos + ray_dir * c["dist"]
-        sd = distance_to_scene(vol, opts, pos, ray_dir, opts.maxVoxelIter, a, chunk, accel)
+        idist = intersects_box(bmin, bmax, pos, ray_dir)
+        slow = a & (idist >= 0.0)
+        # --- slow path: full scene distance incl. volume march (1 step) ---
+        sd = distance_to_scene(
+            vol, opts, pos, ray_dir, opts.maxVoxelIter, slow, chunk, accel,
+            idist=idist,
+        )
         done = (jnp.abs(sd["dist"]) <= opts.eps) | (c["dist"] >= max_dist)
+        s = jnp.where(slow, c["s"] + 1, c["s"])
         qi = sd["q"]
-        return {
-            "step": c["step"] + 1,
-            "active": a & ~done,
-            "dist": jnp.where(a & ~done, c["dist"] + sd["dist"], c["dist"]),
-            "obj": jnp.where(a, sd["mat"].astype(_I32), c["obj"]),
-            "pos": where3(a, pos, c["pos"]),
-            "hit": jnp.where(a, sd["hit"], c["hit"]),
+        c = {
+            "round": c["round"] + 1,
+            "s": s,
+            "active": a & ~(slow & (done | (s >= max_steps))),
+            "dist": jnp.where(slow & ~done, c["dist"] + sd["dist"], c["dist"]),
+            "obj": jnp.where(slow, sd["mat"].astype(_I32), c["obj"]),
+            "pos": where3(slow, pos, c["pos"]),
+            "hit": jnp.where(slow, sd["hit"], c["hit"]),
             "q": V3(
-                jnp.where(a, qi.x, c["q"].x),
-                jnp.where(a, qi.y, c["q"].y),
-                jnp.where(a, qi.z, c["q"].z),
+                jnp.where(slow, qi.x, c["q"].x),
+                jnp.where(slow, qi.y, c["q"].y),
+                jnp.where(slow, qi.z, c["q"].z),
             ),
-            "gd": jnp.where(a, sd["gd"], c["gd"]),
+            "gd": jnp.where(slow, sd["gd"], c["gd"]),
         }
+        # --- fast path: ground-only recurrence, GROUND_STEPS steps --------
+        # (the first step's box test is the round's idist; later steps
+        # re-check inside one_ground_step)
+        fast0 = a & (idist < 0.0)
+        for _ in range(GROUND_STEPS):
+            c = one_ground_step(fast0 & c["active"], c)
+        return c
 
     c = jax.lax.while_loop(cond, body, carry)
 
