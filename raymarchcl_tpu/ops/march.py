@@ -182,7 +182,7 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
 
 
 def march_volume(
-    vol, opts, p0: V3, delta: V3, steps, active, chunk=MARCH_CHUNK,
+    vol, opts, p0: V3, delta: V3, steps, active, chunk=None,
     accel=None, probes=3,
 ):
     """Fixed-step march through normalized volume space
@@ -202,6 +202,8 @@ def march_volume(
     """
     from . import accel as accel_mod
 
+    if chunk is None:
+        chunk = MARCH_CHUNK
     n = p0.x.shape[0]
     n_rounds = -(-steps // chunk)
     iso = _I32(opts.isoVal)
@@ -265,7 +267,7 @@ def march_volume(
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=MARCH_CHUNK, accel=None, idist=None):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
@@ -339,7 +341,7 @@ def raymarch(
     smooth,
     active,
     want_normal=True,
-    chunk=MARCH_CHUNK,
+    chunk=None,
     accel=None,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
@@ -441,7 +443,7 @@ def raymarch(
         # (the first step's box test is the round's idist; later steps
         # re-check inside one_ground_step)
         fast0 = a & (idist < 0.0)
-        for _ in range(GROUND_STEPS):
+        for _ in range(max(GROUND_STEPS, 1)):
             c = one_ground_step(fast0 & c["active"], c)
         return c
 
