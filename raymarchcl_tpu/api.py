@@ -75,11 +75,18 @@ def render_frame(
     )
 
 
-def build_accel_for(volume, opts):
-    """Empty-space-skip mip for a volume (see ops/accel.py)."""
+def build_accel_for(volume, opts, max_occupancy=0.5):
+    """Empty-space-skip mip for a volume (see ops/accel.py).
+
+    Returns None when the dilated occupancy is too dense to help (e.g. the
+    default gyroid fills ~99% of 32^3 dilated blocks): probing would be pure
+    overhead. Mesh-style sparse volumes keep the accel."""
     from .ops.accel import build_accel
 
-    return build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
+    acc = build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
+    if float(np.asarray(acc.mip).mean()) > max_occupancy:
+        return None
+    return acc
 
 
 def test_render(

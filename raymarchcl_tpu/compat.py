@@ -37,6 +37,8 @@ def opts_from_blob(blob: bytes) -> RenderOpts:
         voxelBoundsMin=tuple(d["voxelBoundsMin"]),
         voxelBoundsMax=tuple(d["voxelBoundsMax"]),
         invVoxelScale=tuple(d["invVoxelScale"]),
+        aoStepDist=float(d["aoStepDist"]),
+        voxelSize=float(d["voxelSize"]),
         eyePos=f32(d["eyePos"]),
         targetPos=f32(d["targetPos"]),
         up=f32(d["up"]),
@@ -48,9 +50,7 @@ def opts_from_blob(blob: bytes) -> RenderOpts:
         maxDist=f32(d["maxDist"]),
         startDist=f32(d["startDist"]),
         eps=f32(d["eps"]),
-        aoStepDist=f32(d["aoStepDist"]),
         aoAmp=f32(d["aoAmp"]),
-        voxelSize=f32(d["voxelSize"]),
         groundY=f32(d["groundY"]),
         shadowBias=f32(d["shadowBias"]),
         lightScatter=f32(d["lightScatter"]),

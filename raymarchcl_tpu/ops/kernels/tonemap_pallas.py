@@ -22,7 +22,9 @@ def _kernel(r_ref, g_ref, b_ref, gamma_ref, out_ref):
     def tm(c):
         t = c / (g + c)
         t = t * t * 255.0
-        return jnp.clip(t, 0.0, 255.0).astype(jnp.uint32)
+        # f32 -> u32 directly is unsupported by Mosaic; go through i32
+        # (values are clamped non-negative)
+        return jnp.clip(t, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint32)
 
     out_ref[:] = (
         jnp.uint32(0xFF000000)

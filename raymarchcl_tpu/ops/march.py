@@ -183,7 +183,7 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
 
 def march_volume(
     vol, opts, p0: V3, delta: V3, steps, active, chunk=None,
-    accel=None, probes=3,
+    accel=None, probes=3, max_k=None,
 ):
     """Fixed-step march through normalized volume space
     (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
@@ -199,13 +199,19 @@ def march_volume(
     cheap mip lookups that jump rays through provably-empty blocks — the
     per-ray step index k becomes variable, but every evaluated/skipped
     sample resolves identically, so output is bit-equal to accel=None.
+
+    `max_k` truncates the EVALUATED portion of the budget without changing
+    the step length (delta still derives from `steps`): samples k >= max_k
+    are treated as not reached. Callers use it where results are provably
+    insensitive to hits beyond max_k (see shade.ambient_occlusion).
     """
     from . import accel as accel_mod
 
     if chunk is None:
         chunk = MARCH_CHUNK
+    eff = steps if max_k is None else min(steps, max_k)
     n = p0.x.shape[0]
-    n_rounds = -(-steps // chunk)
+    n_rounds = -(-eff // chunk)
     iso = _I32(opts.isoVal)
     ks = jnp.arange(chunk, dtype=_F32)[:, None]  # (CH, 1)
     ksi = jnp.arange(chunk, dtype=_I32)[:, None]
@@ -226,7 +232,7 @@ def march_volume(
                     p0.x + delta.x * kf,
                     p0.y + delta.y * kf,
                     p0.z + delta.z * kf,
-                    act & can_skip & (k < steps),
+                    act & can_skip & (k < eff),
                 )
                 k = jnp.where(empty, k + jump, k)
         kk = k.astype(_F32)[None, :] + ks  # (CH, N)
@@ -236,7 +242,7 @@ def march_volume(
             p0.z[None, :] + delta.z[None, :] * kk,
         )
         v, _ = voxel_fetch(vol, opts, voxel_coord(opts, p))  # (CH, N)
-        valid_k = (k[None, :] + ksi) < steps
+        valid_k = (k[None, :] + ksi) < eff
         oob = (v < 0) & valid_k
         hitm = (v > iso) & valid_k
         any_oob = jnp.any(oob, axis=0)
@@ -250,7 +256,7 @@ def march_volume(
         k_next = k + chunk
         return (
             i + 1,
-            act & ~any_stop & (k_next < steps),
+            act & ~any_stop & (k_next < eff),
             k_next,
             jnp.where(newly, is_hit, hit),
             jnp.where(newly, k + first, hit_k),
@@ -267,7 +273,7 @@ def march_volume(
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None, max_k=None):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
@@ -295,7 +301,7 @@ def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, 
         (rpos.z + vb[2] + rdir.z * adv) * inv_s[2],
     )
 
-    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk, accel)
+    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk, accel, max_k=max_k)
     kf = hit_k.astype(_F32)
     hit_p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, hit_p)

@@ -29,7 +29,15 @@ TIME_STEP_INIT = 0.333
 TIME_STEP_ANIM = 0.3333
 
 
-def render_pass(vol, opts, mc_table, accum, ids=None, accel=None):
+# Screen bands rendered sequentially per pass (lax.scan). Lock-step masked
+# marching costs the worst ray per round across ALL lanes in flight; rays in
+# a horizontal band are coherent (sky bands exit immediately, geometry bands
+# share march depth), so scanning bands trades no accuracy (per-ray math is
+# identical => bit-equal) for a large cut in wasted gather lanes.
+RENDER_TILES = 64
+
+
+def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
     """One full-supersample pass blended into the accumulation buffer
     (reference: renderer.cl:478-494). accum: (N, 3) float32.
 
@@ -41,13 +49,29 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None):
 
     if ids is None:
         ids = jnp.arange(opts.num_pixels, dtype=jnp.int32)
+    n = ids.shape[0]
+    if tiles is None:
+        tiles = RENDER_TILES
+    while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
+        tiles //= 2
     table_t = transpose_table(mc_table)
-    state = init_render_state(opts, table_t, ids)
-    ray_pos, ray_dir = camera_ray_lookat(opts, state)
-    col = scene_color(vol, opts, table_t, state, ray_pos, ray_dir, accel)
-    col = col * opts.exposure
-    col_a = col.to_array()
-    return accum + (col_a - accum) * opts.frameBlend
+
+    def shade_ids(ids_t, accum_t):
+        state = init_render_state(opts, table_t, ids_t)
+        ray_pos, ray_dir = camera_ray_lookat(opts, state)
+        col = scene_color(vol, opts, table_t, state, ray_pos, ray_dir, accel)
+        col_a = (col * opts.exposure).to_array()
+        return accum_t + (col_a - accum_t) * opts.frameBlend
+
+    if tiles <= 1:
+        return shade_ids(ids, accum)
+    nt = n // tiles
+    _, acc = jax.lax.scan(
+        lambda _, xs: (None, shade_ids(xs[0], xs[1])),
+        None,
+        (ids.reshape(tiles, nt), accum.reshape(tiles, nt, 3)),
+    )
+    return acc.reshape(n, 3)
 
 
 def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):

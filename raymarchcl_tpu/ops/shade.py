@@ -97,10 +97,33 @@ def blinn_phong_intensity(smoothness, ray_dir: V3, light_dir: V3, normal: V3):
     return jnp.where(nh > 0.0, val, 0.0)
 
 
+def _ao_trunc_steps(opts, steps, i):
+    """Exact AO march truncation bound for probe i (0-based).
+
+    The AO factor is 1 - max((d_i - sd)*aoAmp/d_i, 0): any scene distance
+    sd >= d_i contributes exactly 1, so the march may stop once a hit could
+    only be farther than d_i. A hit at step k has distance
+    k*steplen - voxelSize, with steplen = (2/steps)*min(invVoxelScale*
+    voxelBounds2) per unit |dir| (AO directions are normalized). Bounding
+    k <= (d_i + voxelSize)/steplen (+margin) is therefore output-preserving
+    — sd beyond that is either the untouched ground term or irrelevant."""
+    d_i = opts.aoStepDist * (i + 1)
+    f = min(a * b for a, b in zip(opts.invVoxelScale, opts.voxelBounds2))
+    steplen = (2.0 / steps) * f
+    if steplen <= 0:
+        return steps
+    k = int((d_i + opts.voxelSize) / steplen) + 3
+    return min(steps, k)
+
+
 def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=None):
     """Monte-Carlo AO: scene marches along scatter-jittered normals with a
     halved voxel budget (reference: renderer.cl:327-346). Statically
-    unrolled aoIter+1 rounds with the reference's `ao > 0.01` early-out."""
+    unrolled aoIter+1 rounds with the reference's `ao > 0.01` early-out.
+
+    Each probe march is truncated to the exact-output bound
+    (_ao_trunc_steps): ~8-18 evaluated samples instead of 96, identical
+    results."""
     n_rays = pos.x.shape[0]
     ao = jnp.ones((n_rays,), _F32)
     seed0 = sampling.ao_seed(opts, pos)
@@ -110,7 +133,10 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=Non
         d = opts.aoStepDist * _F32(i + 1)
         seed = seed0 + jnp.uint32(37 * (i + 1))
         sn = normalize(sampling.rand_xyz(table_t, seed) * 0.2 + normal)
-        sd = distance_to_scene(vol, opts, pos + sn * d, sn, steps, act, accel=accel)
+        sd = distance_to_scene(
+            vol, opts, pos + sn * d, sn, steps, act, accel=accel,
+            max_k=_ao_trunc_steps(opts, steps, i),
+        )
         ao_new = ao * (1.0 - jnp.maximum((d - sd["dist"]) * opts.aoAmp / d, 0.0))
         ao = jnp.where(act, ao_new, ao)
     return ao

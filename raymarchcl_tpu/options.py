@@ -60,6 +60,9 @@ class RenderOpts:
     voxelBoundsMin: Tuple[float, float, float] = struct.field(pytree_node=False)
     voxelBoundsMax: Tuple[float, float, float] = struct.field(pytree_node=False)
     invVoxelScale: Tuple[float, float, float] = struct.field(pytree_node=False)
+    # scene constants used to derive static march-truncation bounds
+    aoStepDist: float = struct.field(pytree_node=False)
+    voxelSize: float = struct.field(pytree_node=False)
 
     # --- dynamic parameters (float32 pytree leaves) ---
     eyePos: jnp.ndarray  # (3,)
@@ -73,9 +76,7 @@ class RenderOpts:
     maxDist: jnp.ndarray  # ()
     startDist: jnp.ndarray  # ()
     eps: jnp.ndarray  # ()
-    aoStepDist: jnp.ndarray  # ()
     aoAmp: jnp.ndarray  # ()
-    voxelSize: jnp.ndarray  # ()
     groundY: jnp.ndarray  # ()
     shadowBias: jnp.ndarray  # ()
     lightScatter: jnp.ndarray  # ()
@@ -217,6 +218,8 @@ def render_options(
         voxelBoundsMin=tuple(float(v) for v in d["voxelBoundsMin"]),
         voxelBoundsMax=tuple(float(v) for v in d["voxelBoundsMax"]),
         invVoxelScale=tuple(float(v) for v in d["invVoxelScale"]),
+        aoStepDist=float(d["aoStepDist"]),
+        voxelSize=float(d["voxelSize"]),
         eyePos=_f32(d["eyePos"]),
         targetPos=_f32(d["targetPos"]),
         up=_f32(d["up"]),
@@ -228,9 +231,7 @@ def render_options(
         maxDist=_f32(d["maxDist"]),
         startDist=_f32(d["startDist"]),
         eps=_f32(d["eps"]),
-        aoStepDist=_f32(d["aoStepDist"]),
         aoAmp=_f32(d["aoAmp"]),
-        voxelSize=_f32(d["voxelSize"]),
         groundY=_f32(d["groundY"]),
         shadowBias=_f32(d["shadowBias"]),
         lightScatter=_f32(d["lightScatter"]),

@@ -77,3 +77,24 @@ def test_tiled_progressive_accum(scene):
         vol, opts, tables[1:], times=jnp.array([0.333]), accum=accum_1
     )
     np.testing.assert_array_equal(argb_b, argb_1)
+
+
+def test_band_tiles_bit_equal(scene):
+    """lax.scan screen-band tiling (ops.render.RENDER_TILES) is bit-equal
+    to monolithic rendering."""
+    vol, _, tables = scene
+    opts = render_options(
+        width=64, height=32, vres=[32, 32, 96], iter=1, mat="ao",
+        maxIter=16, maxVoxelIter=32, shadowIter=16,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    zero = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+    a = np.asarray(render_mod.render_pass(vol, opts, tables[0], zero, tiles=1))
+    # 2048 px / 4 tiles = 512 per band (at the floor; actually splits)
+    b = np.asarray(render_mod.render_pass(vol, opts, tables[0], zero, tiles=4))
+    # identical math per ray; on TPU this is bit-equal (verified on HW), but
+    # XLA:CPU contracts FMAs differently between the scan body and the
+    # monolithic program -> last-ULP drift, with rare threshold-flip pixels
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
+    assert (rel.max(axis=1) > 1e-3).mean() < 0.01
+    np.testing.assert_allclose(np.median(a, 0), np.median(b, 0), rtol=1e-5)
