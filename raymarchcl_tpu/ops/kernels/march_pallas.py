@@ -8,10 +8,14 @@ first-hit/first-exit resolution as ops.march.march_volume (semantics
 identical; asserted in tests) over a grid of ray tiles, with the whole
 volume broadcast to every program.
 
-Status: developed/validated in interpreter mode and behind an explicit
-opt-in (`RAYMARCHCL_TPU_PALLAS_MARCH=1` or use_pallas=True); Mosaic
-lowering of the (CH, T) dynamic gather is validated on hardware by
-scripts/tpu_pallas_smoke.py.
+Status: CORRECT in interpreter mode (tests/test_pallas.py) but NOT
+compilable by Mosaic on current hardware: TPU `tpu.dynamic_gather` only
+supports 2D operands with one position-fixed axis (out[i,j] = x[idx,j] or
+x[i,idx]), so an arbitrary flat-index gather from a VMEM volume has no
+lowering (verified on v5e, jax 0.9: "Only 2D gather is supported"). A
+lane-replicated (8, SIZE) layout would lift volumes <= ~2MB only. Kept as
+the reference implementation for when Mosaic grows arbitrary gathers;
+see PERFORMANCE.md for the measured XLA gather wall this would address.
 """
 
 from __future__ import annotations

@@ -1,11 +1,10 @@
 """Hardware smoke test for the Pallas kernels (run on a real TPU).
 
-Validates Mosaic lowering + numerics of:
-  1. tonemap_pack_pallas vs the XLA pack_argb
-  2. march_volume_pallas (VMEM-resident volume) vs ops.march.march_volume
-and times both against their XLA equivalents.
+Validates Mosaic lowering + numerics of tonemap_pack_pallas vs the XLA
+pack_argb. (march_volume_pallas is interpret-only: Mosaic has no arbitrary
+gather — see its docstring; pass --try-march to watch it fail.)
 
-Usage:  python scripts/tpu_pallas_smoke.py
+Usage:  python scripts/tpu_pallas_smoke.py [--try-march]
 """
 
 import sys
@@ -36,6 +35,7 @@ def timed(name, fn, *args, reps=3):
 
 
 def main():
+    try_march = "--try-march" in sys.argv
     print("device:", jax.devices()[0])
 
     print("tonemap/pack:")
@@ -47,6 +47,8 @@ def main():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     print("  MATCH")
 
+    if not try_march:
+        return
     print("vmem march (128^3 volume, 256k rays, 192 steps):")
     vol = jnp.asarray(generators.make_gyroid_volume({"vres": [128] * 3}))
     o = render_options(width=512, height=512, vres=128, iter=1)
