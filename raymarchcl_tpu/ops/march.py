@@ -183,7 +183,7 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
 
 def march_volume(
     vol, opts, p0: V3, delta: V3, steps, active, chunk=None,
-    accel=None, probes=3, max_k=None,
+    accel=None, probes=3, max_k=None, max_k_dyn=None,
 ):
     """Fixed-step march through normalized volume space
     (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
@@ -204,6 +204,8 @@ def march_volume(
     the step length (delta still derives from `steps`): samples k >= max_k
     are treated as not reached. Callers use it where results are provably
     insensitive to hits beyond max_k (see shade.ambient_occlusion).
+    `max_k_dyn` is the same cap per-ray as an (N,) int32 array (see
+    raymarch's shadow truncation).
     """
     from . import accel as accel_mod
 
@@ -242,7 +244,10 @@ def march_volume(
             p0.z[None, :] + delta.z[None, :] * kk,
         )
         v, _ = voxel_fetch(vol, opts, voxel_coord(opts, p))  # (CH, N)
-        valid_k = (k[None, :] + ksi) < eff
+        kabs = k[None, :] + ksi
+        valid_k = kabs < eff
+        if max_k_dyn is not None:
+            valid_k &= kabs < max_k_dyn[None, :]
         oob = (v < 0) & valid_k
         hitm = (v > iso) & valid_k
         any_oob = jnp.any(oob, axis=0)
@@ -254,9 +259,12 @@ def march_volume(
         any_stop = any_oob | any_hit
         newly = act & any_stop
         k_next = k + chunk
+        still = act & ~any_stop & (k_next < eff)
+        if max_k_dyn is not None:
+            still &= k_next < max_k_dyn
         return (
             i + 1,
-            act & ~any_stop & (k_next < eff),
+            still,
             k_next,
             jnp.where(newly, is_hit, hit),
             jnp.where(newly, k + first, hit_k),
@@ -273,7 +281,7 @@ def march_volume(
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None, max_k=None):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None, max_k=None, max_k_dyn=None):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
@@ -301,7 +309,7 @@ def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, 
         (rpos.z + vb[2] + rdir.z * adv) * inv_s[2],
     )
 
-    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk, accel, max_k=max_k)
+    hit, hit_k = march_volume(vol, opts, p0, delta, steps, march_mask, chunk, accel, max_k=max_k, max_k_dyn=max_k_dyn)
     kf = hit_k.astype(_F32)
     hit_p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, hit_p)
@@ -349,6 +357,7 @@ def raymarch(
     want_normal=True,
     chunk=None,
     accel=None,
+    truncate_to_max_dist=False,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
@@ -360,6 +369,14 @@ def raymarch(
     converged (|d| <= eps), escaped (>= max_dist), or the budget ran out;
     misses rewrite to objectID=-1 / distance=1000 (renderer.cl:252-256).
     Normals resolve once post-loop from the tracked hit voxel.
+
+    With truncate_to_max_dist=True (used for shadow rays, whose only
+    consumer is `distance >= light_max_dist`), each round's volume march is
+    capped per-ray at the steps that could still place a hit within
+    max_dist (+eps +voxelSize margin). Output-identical proof: a hit
+    farther than the remaining distance either loses distUnion to the
+    ground term (same sd either way) or overshoots max_dist (same
+    miss-fixup either way); shadow() never reads normals/object ids.
 
     Ground-tail fast path: rays whose LINE misses the voxel box
     (intersectsBox < 0 — permanent once true) have a purely scalar scene
@@ -373,6 +390,14 @@ def raymarch(
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
     bmin = _np3(opts.voxelBoundsMin)
     bmax = _np3(opts.voxelBoundsMax)
+    if truncate_to_max_dist:
+        f_min = min(
+            a * b for a, b in zip(_np3(opts.invVoxelScale), _np3(opts.voxelBounds2))
+        )
+        # world distance per march step, per unit |dir| (dirs may be
+        # unnormalized for glossy bounces — scale dynamically)
+        base_step = (2.0 / opts.maxVoxelIter) * f_min
+        inv_steplen = 1.0 / (base_step * jnp.maximum(norm(ray_dir), 1e-20))
 
     carry = {
         "round": _I32(0),
@@ -422,10 +447,18 @@ def raymarch(
         pos = ray_pos + ray_dir * c["dist"]
         idist = intersects_box(bmin, bmax, pos, ray_dir)
         slow = a & (idist >= 0.0)
+        mkd = None
+        if truncate_to_max_dist:
+            remaining = max_dist - c["dist"]
+            mkd = jnp.clip(
+                ((remaining + opts.eps + opts.voxelSize) * inv_steplen + 3.0),
+                0.0,
+                _F32(opts.maxVoxelIter),
+            ).astype(_I32)
         # --- slow path: full scene distance incl. volume march (1 step) ---
         sd = distance_to_scene(
             vol, opts, pos, ray_dir, opts.maxVoxelIter, slow, chunk, accel,
-            idist=idist,
+            idist=idist, max_k_dyn=mkd,
         )
         done = (jnp.abs(sd["dist"]) <= opts.eps) | (c["dist"] >= max_dist)
         s = jnp.where(slow, c["s"] + 1, c["s"])

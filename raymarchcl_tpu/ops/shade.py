@@ -73,6 +73,7 @@ def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None):
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False, accel=accel,
+        truncate_to_max_dist=True,
     )
     return (isec["distance"] >= light_max_dist).astype(_F32)
 

@@ -164,3 +164,28 @@ def test_raymarch_matches_scalar(gyro16):
         if ref["objectID"] > 0:
             np.testing.assert_allclose(got_n[i], ref["normal"], atol=1e-4)
     assert n_loose <= 2, f"{n_loose} rays diverged"
+
+
+def test_shadow_truncation_bit_equal(gyro16):
+    """Shadow raymarch with per-ray budget truncation must give identical
+    shadow factors to the untruncated march (the only consumed output is
+    distance >= light_max_dist)."""
+    from raymarchcl_tpu.ops.vecmath import V3 as _V3
+
+    o = mkopts(vres=[16, 16, 48], maxIter=48, maxVoxelIter=64, shadowIter=48)
+    vol = jnp.asarray(gyro16)
+    rng = np.random.default_rng(21)
+    n = 256
+    rp = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    lmax = rng.uniform(-0.2, 5.0, n).astype(np.float32)  # incl. negative edge
+    pv, dv = v3a(rp), v3a(rd)
+    act = jnp.ones((n,), bool)
+    a = march.raymarch(vol, o, pv, dv, jnp.asarray(lmax), o.shadowIter,
+                       False, act, want_normal=False)
+    b = march.raymarch(vol, o, pv, dv, jnp.asarray(lmax), o.shadowIter,
+                       False, act, want_normal=False, truncate_to_max_dist=True)
+    sa = np.asarray(a["distance"]) >= lmax
+    sb = np.asarray(b["distance"]) >= lmax
+    np.testing.assert_array_equal(sb, sa)
