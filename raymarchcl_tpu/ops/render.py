@@ -33,8 +33,18 @@ TIME_STEP_ANIM = 0.3333
 # marching costs the worst ray per round across ALL lanes in flight; rays in
 # a horizontal band are coherent (sky bands exit immediately, geometry bands
 # share march depth), so scanning bands trades no accuracy (per-ray math is
-# identical => bit-equal) for a large cut in wasted gather lanes.
-RENDER_TILES = 64
+# identical => bit-equal on TPU) for a large cut in wasted gather lanes.
+# Band size ~TILE_RAYS was the sweep optimum on v5e (scripts/tune.py).
+TILE_RAYS = 1024
+MAX_TILES = 256
+
+
+def auto_tiles(n):
+    """Largest power-of-two band count dividing n with bands >= TILE_RAYS."""
+    t = 1
+    while t < MAX_TILES and n % (t * 2) == 0 and n // (t * 2) >= TILE_RAYS:
+        t *= 2
+    return t
 
 
 def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
@@ -51,7 +61,7 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
         ids = jnp.arange(opts.num_pixels, dtype=jnp.int32)
     n = ids.shape[0]
     if tiles is None:
-        tiles = RENDER_TILES
+        tiles = auto_tiles(n)
     while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
         tiles //= 2
     table_t = transpose_table(mc_table)
