@@ -1,4 +1,4 @@
-"""Headline benchmark: gyroid 512x512 @ 16 spp, :metal preset, on one chip.
+"""Headline benchmark: gyroid 512x512 @ 16 spp, ao preset, on one chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the north-star target of 1 s/frame for this workload (the OpenCL
@@ -10,13 +10,14 @@ calls from a cache, so every rep perturbs the per-pass time vector by an
 invisible epsilon; results are fetched to host to guarantee completion.
 
 Env overrides: BENCH_SIZE (default 512), BENCH_SPP (16), BENCH_VRES (256),
-BENCH_MAT (metal), BENCH_REPS (3), BENCH_ACCEL (1).
+BENCH_MAT (ao), BENCH_REPS (1), BENCH_ACCEL (1), BENCH_HOST_CHUNK (4).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -58,6 +59,8 @@ def run(size, spp, vres, mat, reps, use_accel):
             argb, accum = fn(
                 vol, opts, mc_tables[c0:c1], base_times[c0:c1] + eps, accum, accel
             )
+            np.asarray(argb)  # sync each chunk (worker flakiness isolation)
+            print(f"  pass {c1}/{spp}", file=sys.stderr, flush=True)
         return np.asarray(argb)
 
     frame(jnp.float32(0.0))  # warm-up / compile
@@ -94,7 +97,7 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", 16))
     vres = int(os.environ.get("BENCH_VRES", 256))
     mat = os.environ.get("BENCH_MAT", "ao")
-    reps = int(os.environ.get("BENCH_REPS", 2))
+    reps = int(os.environ.get("BENCH_REPS", 1))
     use_accel = os.environ.get("BENCH_ACCEL", "1") != "0"
     # The hosted TPU worker crashes intermittently; retry, then degrade to a
     # smaller config rather than report nothing.
