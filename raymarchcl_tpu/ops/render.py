@@ -73,6 +73,8 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
         col_a = (col * opts.exposure).to_array()
         return accum_t + (col_a - accum_t) * opts.frameBlend
 
+    if tiles > 1 and opts.reflectIter == 0 and DEFERRED_SHADE:
+        return _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles)
     if tiles <= 1:
         return shade_ids(ids, accum)
     nt = n // tiles
@@ -82,6 +84,103 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
         (ids.reshape(tiles, nt), accum.reshape(tiles, nt, 3)),
     )
     return acc.reshape(n, 3)
+
+
+# Deferred shading: when there are no reflection bounces, split each pass
+# into a march phase (screen bands) and a shade phase over rays PERMUTED by
+# hit-position Morton code. Shadow/AO march rounds cost each band's worst
+# ray; spatially-coherent surface points share occlusion paths, so sorted
+# bands converge together. Per-ray math is identical — output is bit-equal
+# on TPU (grouping only changes loop round counts, never values).
+DEFERRED_SHADE = True
+
+
+def _morton10(x, y, z):
+    """Interleave 3x10-bit coords -> 30-bit Morton key (int32)."""
+
+    def split(v):
+        v = v.astype(jnp.uint32) & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    return (split(x) | (split(y) << 1) | (split(z) << 2)).astype(jnp.int32)
+
+
+def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles):
+    from .march import raymarch
+    from .shade import (
+        apply_atmosphere, object_lighting, sky_gradient, _mat_gather,
+    )
+    from .vecmath import V3, reflect, where3
+
+    n = ids.shape[0]
+    nt = n // tiles
+
+    # --- phase A: per-band primary march -------------------------------
+    def march_band(_, ids_t):
+        state = init_render_state(opts, table_t, ids_t)
+        ray_pos, ray_dir = camera_ray_lookat(opts, state)
+        act = jnp.ones((ids_t.shape[0],), bool)
+        isec = raymarch(
+            vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
+            smooth=True, active=act, want_normal=True, accel=accel,
+        )
+        return None, (state["px"], state["py"], state["mc_normal"],
+                      ray_pos, ray_dir, isec["pos"], isec["distance"],
+                      isec["object_id"], isec["normal"])
+    _, out = jax.lax.scan(march_band, None, ids.reshape(tiles, nt))
+    (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = jax.tree_util.tree_map(
+        lambda a: a.reshape((n,) + a.shape[2:]), out
+    )
+
+    # --- permutation: hits sorted by hit-position Morton code ----------
+    hit = idist < opts.maxDist
+    scale = jnp.float32(1023.0 / 4.0)
+    qk = lambda c: jnp.clip((c + 2.0) * scale, 0.0, 1023.0).astype(jnp.int32)
+    key = jnp.where(
+        hit,
+        _morton10(qk(ipos.x), qk(ipos.y), qk(ipos.z)),
+        jnp.int32(2**30) + jnp.arange(n, dtype=jnp.int32),  # misses: stable tail
+    )
+    perm = jnp.argsort(key, stable=True)
+    pick = lambda a: jnp.take(a, perm, axis=0)
+    pick3 = lambda v: V3(pick(v.x), pick(v.y), pick(v.z))
+    px, py = pick(px), pick(py)
+    mcn, rpos, rdir, ipos, inorm = (
+        pick3(mcn), pick3(rpos), pick3(rdir), pick3(ipos), pick3(inorm)
+    )
+    idist, iobj, hit = pick(idist), pick(iobj), pick(hit)
+
+    # --- phase B: per-band shading (reflectIter == 0 path of scene_color)
+    def shade_band(_, xs):
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, hit) = xs
+        sky = sky_gradient(opts, rdir)
+        mat_idx = jnp.clip(iobj, 0, 3)
+        _, _, smoothness = _mat_gather(opts, mat_idx)
+        norm_p = inorm + mcn * (1.0 / (smoothness * 200.0 + 5.0))
+        reflect_col = sky_gradient(opts, reflect(rdir, norm_p))
+        lit = object_lighting(
+            vol, opts, table_t, px, py, rdir, ipos, mat_idx, norm_p,
+            reflect_col, hit, accel,
+        )
+        col = where3(hit, lit, sky)
+        col = apply_atmosphere(opts, table_t, px, py, rpos, rdir, idist, col)
+        return None, col
+
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape((tiles, nt) + a.shape[1:]),
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, hit),
+    )
+    _, col = jax.lax.scan(shade_band, None, xs)
+    col = jax.tree_util.tree_map(lambda a: a.reshape(n), col)
+
+    # --- unsort + blend -------------------------------------------------
+    col_a = (col * opts.exposure).to_array()
+    col_unsorted = jnp.zeros_like(col_a).at[perm].set(col_a)
+    return accum + (col_unsorted - accum) * opts.frameBlend
 
 
 def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
