@@ -8,6 +8,7 @@ volume generation/baking, mesh voxelization, and benchmarking.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -105,10 +106,11 @@ def main(argv=None):
     elif args.cmd == "bench":
         import runpy
 
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        )
         sys.argv = ["bench.py"]
-        import bench  # repo-root bench when run from checkout
-
-        bench.main()
+        runpy.run_path(bench_path, run_name="__main__")
     elif args.cmd == "info":
         import jax
 

@@ -35,6 +35,32 @@ def gyroid(s, t, p, o):
     )
 
 
+def _gyroid_slab_np(z0, n, rx, ry, scl):
+    """One z-slab of the sliced gyroid volume in numpy float64 — matches the
+    native C++ double-precision path (bit-stable volumes across machines,
+    unlike float32 jnp where threshold voxels flip)."""
+    zs = np.arange(z0, z0 + n)
+    x = np.arange(rx, dtype=np.float64) * scl + 0.3875
+    y = np.arange(ry, dtype=np.float64) * scl
+    z = zs.astype(np.float64) * scl
+    v = np.abs(
+        np.cos(x)[None, None, :] * np.sin(z)[:, None, None]
+        + np.cos(y)[None, :, None] * np.sin(x)[None, None, :]
+        + np.cos(z)[:, None, None] * np.sin(y)[None, :, None]
+    ) - 1.0
+    xi = np.arange(rx)[None, None, :]
+    shell = np.abs(0.2 - v) < 0.05  # generators.clj:39
+    stripe = (xi & 0x3F) < 32  # generators.clj:40
+    interior = v > 0.35  # generators.clj:41
+    vox = np.where(
+        shell, np.where(stripe, np.uint8(64), np.uint8(128)),
+        np.where(interior, np.uint8(255), np.uint8(0)),
+    ).astype(np.uint8)
+    zmask = (zs & 0x3F) >= 32  # z-slicing (generators.clj:35)
+    vox[~zmask] = 0
+    return vox
+
+
 def _gyroid_slab(z0, rx, ry, slab, scl):
     """One z-slab of the sliced gyroid volume; static shapes for jit."""
     zs = z0 + jnp.arange(slab)
@@ -75,12 +101,11 @@ def make_gyroid_volume(opts_or_vres, slab=None) -> np.ndarray:
         return _native.gyroid_volume(rx, ry, rz, scl)
     if slab is None:
         slab = max(1, min(rz, (1 << 24) // max(1, rx * ry)))  # ~16M voxels/slab
-    fn = jax.jit(_gyroid_slab, static_argnums=(1, 2, 3))
     out = np.empty(rx * ry * rz, dtype=np.uint8)
     for z0 in range(0, rz, slab):
         n = min(slab, rz - z0)
-        chunk = fn(z0, rx, ry, slab, scl)[:n]
-        out[z0 * rx * ry : (z0 + n) * rx * ry] = np.asarray(chunk).reshape(-1)
+        chunk = _gyroid_slab_np(z0, n, rx, ry, scl)
+        out[z0 * rx * ry : (z0 + n) * rx * ry] = chunk.reshape(-1)
     return out
 
 
@@ -94,9 +119,12 @@ def make_terrain(opts_or_vres) -> np.ndarray:
     wall_y = int(ry * 0.666)
     # wall 1: vox[z, y, x] = 64 for z<4 (generators.clj:50)
     vox[:4, :wall_y, :] = 64
-    # wall 2: flat index x*rxy + y*rx + (rx-1-z) for z<4 (generators.clj:51)
+    # wall 2: flat index x*rxy + y*rx + (rx-1-z) for z<4 (generators.clj:51).
+    # The index iterates x over SLABS; the reference assumes cubic volumes —
+    # clamp to min(rx, rz) slabs for non-cubic grids (matches native path)
     for z in range(4):
-        vox[:, :wall_y, rx - 1 - z] = 64
+        if rx - 1 - z >= 0:
+            vox[: min(rx, rz), :wall_y, rx - 1 - z] = 64
     # pillars (generators.clj:52-59)
     x = np.arange(rx)
     z = np.arange(rz)

@@ -63,13 +63,19 @@ void rmcl_terrain_volume(int32_t rx, int32_t ry, int32_t rz, uint8_t *out) {
   const int64_t rxy = (int64_t)rx * ry;
   memset(out, 0, (int64_t)rz * rxy);
   const int32_t wall_y = (int32_t)(ry * 0.666);
+  // wall 2 iterates x over slabs (generators.clj:51 index x*rxy+y*rx+(rx-1-z));
+  // the reference assumes cubic volumes — clamp to the real slab count so
+  // non-cubic grids neither overflow (rx > rz) nor diverge from the python
+  // path (rz > rx)
+  const int32_t wall2_slabs = rx < rz ? rx : rz;
   for (int32_t z = 0; z < 4 && z < rz; z++)
-    for (int32_t y = 0; y < wall_y; y++)
-      for (int32_t x = 0; x < rx; x++) {
+    for (int32_t y = 0; y < wall_y; y++) {
+      for (int32_t x = 0; x < rx; x++)
         out[(int64_t)z * rxy + (int64_t)y * rx + x] = 64;
-        // second wall: flat index x*rxy + y*rx + (rx-1-z) (generators.clj:51)
-        out[(int64_t)x * rxy + (int64_t)y * rx + (rx - 1 - z)] = 64;
-      }
+      if (rx - 1 - z >= 0)
+        for (int32_t x = 0; x < wall2_slabs; x++)
+          out[(int64_t)x * rxy + (int64_t)y * rx + (rx - 1 - z)] = 64;
+    }
 #pragma omp parallel for schedule(static)
   for (int32_t z = 0; z < rz; z++)
     for (int32_t x = 0; x < rx; x++) {

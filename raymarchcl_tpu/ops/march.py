@@ -47,6 +47,9 @@ MARCH_CHUNK = 16
 # line misses the voxel box (see raymarch docstring).
 GROUND_STEPS = 16
 
+# Accel mip probes per march round (only with an Accel structure).
+MARCH_PROBES = 3
+
 _I32 = jnp.int32
 _F32 = jnp.float32
 
@@ -61,7 +64,6 @@ def dist_union(d1, m1, d2, m2):
 def intersects_box(bmin, bmax, p: V3, d: V3):
     """Slab test (reference: renderer.cl:153-161). Returns entry distance or
     -1.0 where the ray misses. bmin/bmax: python/np 3-sequences."""
-    out = None
     a = jnp.zeros_like(p.x)
     b = None
     for c in range(3):
@@ -74,7 +76,6 @@ def intersects_box(bmin, bmax, p: V3, d: V3):
         hi = jnp.maximum(o1, o2)
         a = jnp.maximum(a, lo)
         b = hi if b is None else jnp.minimum(b, hi)
-    del out
     return jnp.where(b > a, a, -1.0)
 
 
@@ -183,7 +184,7 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
 
 def march_volume(
     vol, opts, p0: V3, delta: V3, steps, active, chunk=None,
-    accel=None, probes=3, max_k=None, max_k_dyn=None,
+    accel=None, probes=None, max_k=None, max_k_dyn=None,
 ):
     """Fixed-step march through normalized volume space
     (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
@@ -211,6 +212,8 @@ def march_volume(
 
     if chunk is None:
         chunk = MARCH_CHUNK
+    if probes is None:
+        probes = MARCH_PROBES
     eff = steps if max_k is None else min(steps, max_k)
     n = p0.x.shape[0]
     n_rounds = -(-eff // chunk)

@@ -120,8 +120,6 @@ def jax_rsqrt(x):
 
 def mix(a, b, t):
     """OpenCL mix(): a + (b - a) * t. Works on scalars and V3."""
-    if isinstance(a, V3):
-        return a + (b - a) * t
     return a + (b - a) * t
 
 

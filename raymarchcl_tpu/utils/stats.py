@@ -27,9 +27,11 @@ def raymarch_occupancy(vol, opts, ray_pos: V3, ray_dir: V3, max_dist, max_steps,
     if max_rounds is None:
         max_rounds = max_steps
 
+    # device values passed as args (closure-captured device arrays poison
+    # the process on the hosted TPU — see CLAUDE.md)
     d2s = jax.jit(
-        lambda pos, act: march_mod.distance_to_scene(
-            vol, opts, pos, ray_dir, opts.maxVoxelIter, act, accel=accel
+        lambda vol, pos, rdir, act, accel: march_mod.distance_to_scene(
+            vol, opts, pos, rdir, opts.maxVoxelIter, act, accel=accel
         )["dist"]
     )
     dist = jnp.zeros((n,), jnp.float32) + opts.startDist
@@ -41,7 +43,7 @@ def raymarch_occupancy(vol, opts, ray_pos: V3, ray_dir: V3, max_dist, max_steps,
             break
         fracs.append(float(jnp.mean(act)))
         pos = ray_pos + ray_dir * dist
-        sd = d2s(pos, act)
+        sd = d2s(vol, pos, ray_dir, act, accel)
         done = (jnp.abs(sd) <= opts.eps) | (dist >= max_dist)
         dist = jnp.where(act & ~done, dist + sd, dist)
         newly_done = np.asarray(act & done)

@@ -22,6 +22,7 @@ def time_config(vol, volume_np, opts, tables, chunk, ground, bl2, probes, reps=2
 
     march.MARCH_CHUNK = chunk
     march.GROUND_STEPS = ground
+    march.MARCH_PROBES = probes
     acc = (
         accel_mod.build_accel(volume_np, opts.voxelRes, opts.isoVal, block_log2=bl2)
         if bl2

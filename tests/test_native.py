@@ -44,6 +44,27 @@ def test_terrain_native_vs_numpy():
     np.testing.assert_array_equal(a, b)
 
 
+def test_terrain_non_cubic_native_vs_numpy():
+    """Non-cubic grids: wall-2 slab clamping must agree (and not overflow
+    when rx > rz)."""
+    from raymarchcl_tpu.models import generators
+
+    for vres in ([48, 24, 16], [16, 24, 48]):
+        a = binding.terrain_volume(*vres)
+        b = _pure(None, generators.make_terrain, {"vres": vres})
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gyroid_fallback_matches_native_exactly():
+    """The numpy float64 fallback and the C++ double path must agree
+    bit-for-bit (determinism across machines)."""
+    from raymarchcl_tpu.models import generators
+
+    a = binding.gyroid_volume(24, 24, 48, 0.01 * 512 / 24)
+    b = _pure(None, generators.make_gyroid_volume, {"vres": [24, 24, 48]})
+    np.testing.assert_array_equal(a, b)
+
+
 def test_voxelizers_native_vs_numpy():
     from raymarchcl_tpu.models import mesh
 
