@@ -73,7 +73,7 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
         col_a = (col * opts.exposure).to_array()
         return accum_t + (col_a - accum_t) * opts.frameBlend
 
-    if tiles > 1 and opts.reflectIter == 0 and DEFERRED_SHADE:
+    if tiles > 1 and DEFERRED_SHADE:
         return _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles)
     if tiles <= 1:
         return shade_ids(ids, accum)
@@ -86,12 +86,12 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
     return acc.reshape(n, 3)
 
 
-# Deferred shading: when there are no reflection bounces, split each pass
-# into a march phase (screen bands) and a shade phase over rays PERMUTED by
-# hit-position Morton code. Shadow/AO march rounds cost each band's worst
-# ray; spatially-coherent surface points share occlusion paths, so sorted
-# bands converge together. Per-ray math is identical — output is bit-equal
-# on TPU (grouping only changes loop round counts, never values).
+# Deferred shading: split each pass into a march phase (screen bands) and a
+# shade phase (incl. reflection bounces) over rays PERMUTED by hit-position
+# Morton code. Shadow/AO/bounce march rounds cost each band's worst ray;
+# spatially-coherent surface points share occlusion paths, so sorted bands
+# converge together. Per-ray math is identical — output is bit-equal on TPU
+# (grouping only changes loop round counts, never values).
 DEFERRED_SHADE = True
 
 
@@ -111,10 +111,8 @@ def _morton10(x, y, z):
 
 def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles):
     from .march import raymarch
-    from .shade import (
-        apply_atmosphere, object_lighting, sky_gradient, _mat_gather,
-    )
-    from .vecmath import V3, reflect, where3
+    from .shade import shade_after_march
+    from .vecmath import V3
 
     n = ids.shape[0]
     nt = n // tiles
@@ -152,27 +150,22 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles):
     mcn, rpos, rdir, ipos, inorm = (
         pick3(mcn), pick3(rpos), pick3(rdir), pick3(ipos), pick3(inorm)
     )
-    idist, iobj, hit = pick(idist), pick(iobj), pick(hit)
+    idist, iobj = pick(idist), pick(iobj)
 
-    # --- phase B: per-band shading (reflectIter == 0 path of scene_color)
+    # --- phase B: per-band shading (scene_color minus the primary march,
+    # incl. the bounce loop for reflective presets) ----------------------
     def shade_band(_, xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, hit) = xs
-        sky = sky_gradient(opts, rdir)
-        mat_idx = jnp.clip(iobj, 0, 3)
-        _, _, smoothness = _mat_gather(opts, mat_idx)
-        norm_p = inorm + mcn * (1.0 / (smoothness * 200.0 + 5.0))
-        reflect_col = sky_gradient(opts, reflect(rdir, norm_p))
-        lit = object_lighting(
-            vol, opts, table_t, px, py, rdir, ipos, mat_idx, norm_p,
-            reflect_col, hit, accel,
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                "normal": inorm}
+        col = shade_after_march(
+            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel
         )
-        col = where3(hit, lit, sky)
-        col = apply_atmosphere(opts, table_t, px, py, rpos, rdir, idist, col)
         return None, col
 
     xs = jax.tree_util.tree_map(
         lambda a: a.reshape((tiles, nt) + a.shape[1:]),
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, hit),
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
     )
     _, col = jax.lax.scan(shade_band, None, xs)
     col = jax.tree_util.tree_map(lambda a: a.reshape(n), col)

@@ -226,18 +226,31 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3, accel=None)
     optional multi-bounce reflections, lighting, atmosphere
     (reference: renderer.cl:407-446)."""
     n_rays = ray_pos.x.shape[0]
-    px, py = state["px"], state["py"]
     active = jnp.ones((n_rays,), bool)
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
         smooth=True, active=active, want_normal=True, accel=accel,
     )
+    return shade_after_march(
+        vol, opts, table_t, state["px"], state["py"], state["mc_normal"],
+        ray_pos, ray_dir, isec, accel,
+    )
+
+
+def shade_after_march(
+    vol, opts, table_t, px, py, mc_normal: V3, ray_pos: V3, ray_dir: V3,
+    isec, accel=None,
+) -> V3:
+    """Everything in sceneColor after the primary raymarch
+    (renderer.cl:414-445): glossy normal, bounce loop / sky reflection,
+    lighting, atmosphere. Split out so deferred shading (ops/render.py) can
+    run it over hit-sorted ray order."""
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
     mat_idx = jnp.clip(isec["object_id"], 0, 3)
     _, r0, smoothness = _mat_gather(opts, mat_idx)
     # glossy perturbation, NOT re-normalized (renderer.cl:420)
-    norm_p = isec["normal"] + state["mc_normal"] * (1.0 / (smoothness * 200.0 + 5.0))
+    norm_p = isec["normal"] + mc_normal * (1.0 / (smoothness * 200.0 + 5.0))
 
     if opts.reflectIter > 0:
         b_active = hit & (r0 > 0.0)
