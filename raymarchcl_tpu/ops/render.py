@@ -211,21 +211,52 @@ def pack_argb(opts, accum):
     )
 
 
-def render_image(vol, opts, mc_tables, times=None, accum=None, accel=None):
+def render_image(vol, opts, mc_tables, times=None, accum=None, accel=None,
+                 host_slices=1):
     """End-to-end frame: spp passes + tonemap.
 
     Returns (argb (H, W) uint32, accum (N, 3) float32). `accum` may be passed
     back in to continue refining (the reference's persistent p-buf,
     core.clj:194-208).
+
+    host_slices > 1 renders the frame as that many row blocks in separate
+    device programs — results identical (pixel ids drive all per-ray state),
+    used for very large frames whose single program exceeds what the hosted
+    worker survives (e.g. 1024^2 with reflective presets).
     """
     n_passes = mc_tables.shape[0]
     if times is None:
         times = (jnp.arange(n_passes, dtype=_F32) * TIME_STEP_INIT)
     if accum is None:
         accum = jnp.zeros((opts.num_pixels, 3), _F32)
-    argb, accum = _render_jit(vol, opts, mc_tables, times, accum, accel)
     w, h = opts.resolution
+    n = opts.num_pixels
+    if host_slices > 1 and n % host_slices == 0:
+        ns = n // host_slices
+        parts = []
+        for s in range(host_slices):
+            ids = jnp.arange(s * ns, (s + 1) * ns, dtype=jnp.int32)
+            parts.append(
+                _render_slice_jit(
+                    vol, opts, mc_tables, times, accum[s * ns : (s + 1) * ns],
+                    ids, accel,
+                )
+            )
+        accum = jnp.concatenate(parts, axis=0)
+        argb = _pack_jit(opts, accum)
+        return np.asarray(argb).reshape(h, w), accum
+    argb, accum = _render_jit(vol, opts, mc_tables, times, accum, accel)
     return np.asarray(argb).reshape(h, w), accum
+
+
+@jax.jit
+def _render_slice_jit(vol, opts, mc_tables, times, accum, ids, accel=None):
+    return render_accum(vol, opts, mc_tables, times, accum, ids=ids, accel=accel)
+
+
+@jax.jit
+def _pack_jit(opts, accum):
+    return pack_argb(opts, accum)
 
 
 @jax.jit

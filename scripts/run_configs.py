@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def render_timed(volume, vres, spp, host_chunk=4, **kw):
+def render_timed(volume, vres, spp, host_chunk=4, host_slices=1, **kw):
     from raymarchcl_tpu.api import build_accel_for
     from raymarchcl_tpu.ops import render as render_mod
     from raymarchcl_tpu.ops.sampling import make_mc_tables
@@ -37,10 +37,10 @@ def render_timed(volume, vres, spp, host_chunk=4, **kw):
         argb = None
         for c0 in range(0, spp, host_chunk):
             c1 = min(c0 + host_chunk, spp)
-            argb, accum = render_mod._render_jit(
-                vol, opts, tables[c0:c1], times[c0:c1] + eps, accum, accel
+            argb, accum = render_mod.render_image(
+                vol, opts, tables[c0:c1], times[c0:c1] + eps, accum,
+                accel=accel, host_slices=host_slices,
             )
-            np.asarray(argb)
         return argb
 
     frame(jnp.float32(0.0))
@@ -88,7 +88,8 @@ def main():
               height=512, mat="metal", **cam)),
         ("5: gyroid 1024^2 DOF+metal 100spp (single chip here)",
          dict(volume=gy256, vres=(256,) * 3, spp=max(1, 100 // (s * 25)),
-              width=1024, height=1024, mat="metal", dof=0.025, **cam)),
+              width=1024, height=1024, mat="metal", dof=0.025,
+              host_slices=4, **cam)),
     ]
 
     rows = []
@@ -96,8 +97,9 @@ def main():
         volume = cfg.pop("volume")
         vres = cfg.pop("vres")
         spp = cfg.pop("spp")
+        hs = cfg.pop("host_slices", 1)
         try:
-            dt = render_timed(volume, vres, spp, **cfg)
+            dt = render_timed(volume, vres, spp, host_slices=hs, **cfg)
             rows.append((name, cfg["width"], cfg["height"], spp, dt))
             print(json.dumps({"config": name, "spp": spp, "seconds": round(dt, 3)}),
                   file=sys.stderr, flush=True)

@@ -98,3 +98,13 @@ def test_band_tiles_bit_equal(scene):
     rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
     assert (rel.max(axis=1) > 1e-3).mean() < 0.01
     np.testing.assert_allclose(np.median(a, 0), np.median(b, 0), rtol=1e-5)
+
+
+def test_host_slices_identical(scene):
+    """Host-level row slicing renders identical frames (pixel ids drive all
+    per-ray state)."""
+    vol, opts, tables = scene
+    a, acc_a = render_mod.render_image(vol, opts, tables)
+    b, acc_b = render_mod.render_image(vol, opts, tables, host_slices=4)
+    np.testing.assert_array_equal(b, a)
+    np.testing.assert_array_equal(np.asarray(acc_b), np.asarray(acc_a))
