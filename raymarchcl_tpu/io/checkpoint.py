@@ -10,6 +10,7 @@ survive interruption.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -17,7 +18,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_accum(path, accum, opts, passes_done, seed=None):
+def pass_digest(mc_tables, times, seed=None):
+    """Digest of everything that determines a pass sequence's output (the MC
+    tables and time seeds). Two renders blend compatibly iff this matches."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(mc_tables, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(times, np.float32)).tobytes())
+    h.update(repr(seed).encode())
+    return h.hexdigest()[:32]
+
+
+def save_accum(path, accum, opts, passes_done, seed=None, digest=None):
     """Write accumulation state + metadata. `path` gets .npz appended
     if missing."""
     if not str(path).endswith(".npz"):
@@ -28,6 +39,7 @@ def save_accum(path, accum, opts, passes_done, seed=None):
         "passes_done": int(passes_done),
         "frameBlend": float(opts.frameBlend),
         "seed": seed,
+        "digest": digest,
         "format": "raymarchcl_tpu/accum/v1",
     }
     np.savez_compressed(
@@ -69,10 +81,19 @@ def render_checkpointed(
     n_passes = mc_tables.shape[0]
     if times is None:
         times = jnp.arange(n_passes, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    digest = pass_digest(mc_tables, times)
     start = 0
     accum = None
     if os.path.exists(str(ckpt_path) if str(ckpt_path).endswith(".npz") else str(ckpt_path) + ".npz"):
         accum_np, meta = load_accum(ckpt_path, opts)
+        # digest-less checkpoints (written directly via save_accum) can't be
+        # validated; ones we wrote must match or the blend would be garbage
+        if meta.get("digest") is not None and meta["digest"] != digest:
+            raise ValueError(
+                f"{ckpt_path}: checkpoint was written for different MC "
+                f"tables/times (digest {meta.get('digest')} != {digest}); "
+                "resuming would blend mismatched passes"
+            )
         start = meta["passes_done"]
         accum = jnp.asarray(accum_np)
     if accum is None:
@@ -83,7 +104,7 @@ def render_checkpointed(
         argb, accum = render_mod.render_image(
             vol, opts, mc_tables[c0:c1], times=times[c0:c1], accum=accum
         )
-        save_accum(ckpt_path, accum, opts, c1)
+        save_accum(ckpt_path, accum, opts, c1, digest=digest)
         if progress:
             progress(c1, n_passes)
     if argb is None:  # fully resumed; tonemap the loaded state

@@ -130,6 +130,11 @@ def load_volume(path):
     if rc != 0:
         raise ValueError(f"native load_volume bad header ({rc}): {path}")
     rx, ry, rz = (int(v) for v in res)
+    # a corrupt/truncated header reads as -1 (or garbage); fail like the
+    # pure-Python loader instead of np.empty raising on a negative size or
+    # attempting a huge allocation
+    if not (0 < rx <= 1 << 14 and 0 < ry <= 1 << 14 and 0 < rz <= 1 << 14):
+        raise ValueError(f"native load_volume bad header dims {rx}x{ry}x{rz}: {path}")
     out = np.empty(rx * ry * rz, dtype=np.uint8)
     rc = lib.rmcl_load_volume_data(str(path).encode(), out, out.size)
     if rc != 0:

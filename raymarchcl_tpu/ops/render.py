@@ -90,8 +90,11 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None):
 # shade phase (incl. reflection bounces) over rays PERMUTED by hit-position
 # Morton code. Shadow/AO/bounce march rounds cost each band's worst ray;
 # spatially-coherent surface points share occlusion paths, so sorted bands
-# converge together. Per-ray math is identical — output is bit-equal on TPU
-# (grouping only changes loop round counts, never values).
+# converge together. Per-ray math is identical — output is bit-equal ON TPU
+# (grouping only changes loop round counts, never values). On XLA:CPU the
+# band scan contracts FMAs differently from the monolithic program, so
+# last-ULP/threshold pixels can differ from the tiles=1 path there (see
+# tests/test_parallel.py); set False if exact CPU reproducibility matters.
 DEFERRED_SHADE = True
 
 

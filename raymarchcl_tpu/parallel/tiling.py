@@ -34,12 +34,24 @@ def make_mesh(devices=None, n=None):
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+# Compiled tiled programs, keyed on (mesh, opts treedef incl. all static
+# fields, padded pixel count). Dynamic opts leaves are ARGUMENTS (not
+# closure captures), so repeated tiled renders — e.g. animation frames —
+# reuse the compiled executable instead of retracing, and no device array
+# is ever baked into a closure (see CLAUDE.md dispatch-poison gotcha).
+_TILED_CACHE = {}
+
+
 def _tiled_fn(mesh, opts, n_pad):
+    key = (mesh, jax.tree_util.tree_structure(opts), n_pad)
+    fn = _TILED_CACHE.get(key)
+    if fn is not None:
+        return fn
     n_dev = mesh.devices.size
     blk = n_pad // n_dev
     n_pix = opts.num_pixels
 
-    def shard_body(vol, mc_tables, times, accum_blk, accel):
+    def shard_body(opts, vol, mc_tables, times, accum_blk, accel):
         tile = jax.lax.axis_index(AXIS)
         ids = tile * blk + jnp.arange(blk, dtype=jnp.int32)
         # padded tail lanes render pixel N-1 redundantly and are dropped
@@ -49,11 +61,11 @@ def _tiled_fn(mesh, opts, n_pad):
         )
         return acc, render_mod.pack_argb(opts, acc)
 
-    return jax.jit(
+    fn = jax.jit(
         jax.shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(AXIS), P()),
+            in_specs=(P(), P(), P(), P(), P(AXIS), P()),
             out_specs=(P(AXIS), P(AXIS)),
             # the body is collective-free (tiles are embarrassingly
             # parallel); skip the varying-manual-axes analysis, which
@@ -61,6 +73,8 @@ def _tiled_fn(mesh, opts, n_pad):
             check_vma=False,
         )
     )
+    _TILED_CACHE[key] = fn
+    return fn
 
 
 def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None, accel=None):
@@ -82,7 +96,7 @@ def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None, 
     accum = jax.device_put(accum, NamedSharding(mesh, P(AXIS)))
     vol = jax.device_put(jnp.asarray(vol, jnp.uint8).reshape(-1), NamedSharding(mesh, P()))
     fn = _tiled_fn(mesh, opts, n_pad)
-    accum, argb = fn(vol, mc_tables, times, accum, accel)
+    accum, argb = fn(opts, vol, mc_tables, times, accum, accel)
     w, h = opts.resolution
     argb_host = np.asarray(argb)[:n_pix].reshape(h, w)
     return argb_host, accum

@@ -82,3 +82,15 @@ def test_fully_resumed_tonemaps_loaded_state(tmp_path, scene):
         vol, opts, tables, tmp_path / "ck", chunk=2
     )
     np.testing.assert_array_equal(argb_r, argb_1)
+
+
+def test_mismatched_digest_rejected(tmp_path, scene):
+    """Resuming against a checkpoint written for different MC tables/times
+    must fail loudly instead of silently blending mismatched passes."""
+    vol, opts, tables = scene
+    checkpoint.render_checkpointed(vol, opts, tables[:2], tmp_path / "ck", chunk=1)
+    other_tables = make_mc_tables(2, seed=99)
+    with pytest.raises(ValueError, match="digest"):
+        checkpoint.render_checkpointed(
+            vol, opts, other_tables, tmp_path / "ck", chunk=1
+        )
