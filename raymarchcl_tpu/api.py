@@ -75,18 +75,14 @@ def render_frame(
     )
 
 
-def build_accel_for(volume, opts, max_occupancy=0.5):
-    """Empty-space-skip mip for a volume (see ops/accel.py).
-
-    Returns None when the dilated occupancy is too dense to help (e.g. the
-    default gyroid fills ~99% of 32^3 dilated blocks): probing would be pure
-    overhead. Mesh-style sparse volumes keep the accel."""
+def build_accel_for(volume, opts):
+    """Distance-field empty-space-skip structure (see ops/accel.py). Works
+    on dense-shell volumes (gyroid) and sparse mesh volumes alike: probes in
+    tight spots skip 0 and cost exactly one landing, free spans are crossed
+    in O(span/d) landings. Output is bit-identical with or without it."""
     from .ops.accel import build_accel
 
-    acc = build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
-    if float(np.asarray(acc.mip).mean()) > max_occupancy:
-        return None
-    return acc
+    return build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
 
 
 def test_render(

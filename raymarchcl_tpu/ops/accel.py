@@ -1,4 +1,4 @@
-"""Empty-space-skipping acceleration structure for the fixed-step march.
+"""Distance-field empty-space skipping for the fixed-step march.
 
 The reference brute-forces every voxel step through empty space
 (renderer.cl:219-234). Because the march is FIXED-STEP, a sample can be
@@ -6,23 +6,33 @@ skipped whenever it is provably (a) inside the volume and (b) not a hit —
 so skipping changes NOTHING about the output (asserted bit-for-bit in
 tests/test_accel.py).
 
-Structure: a coarse block grid (default 32^3 voxels per block) storing
-"this block or any neighbor contains a voxel > isoVal" — i.e. occupancy
-DILATED by one block, with everything outside the volume treated as
-occupied. A ray sampling inside an empty dilated block can jump
-floor((B-1)/max_axis_voxels_per_step) steps without evaluating them: every
-skipped sample lies within Chebyshev distance B-1 of the probe, which the
-dilation guarantees is in-volume and below the iso threshold. Boundary
-blocks are always "occupied", so the exact first-out-of-bounds break of the
-reference march is preserved.
+Structure: a per-voxel uint8 CHEBYSHEV DISTANCE field `dist`, same flat
+indexing as the volume, where dist[q] = L-inf distance (in voxels) from q to
+the nearest voxel of the STOPPING SET = {v > isoVal} U {outside the grid},
+capped at 255. Properties the march exploits:
 
-The mip for a 512^3 volume at B=32 is 4 KB — it lives happily in cache/VMEM
-while the 134 MB volume stays in HBM; probe gathers are nearly free.
+* dist[q] == 0  <=>  q itself stops the march (it is a hit — q being
+  addressable means it is in-bounds, so the only stopping cause is v>iso).
+* dist[q] = d > 0 proves every voxel within Chebyshev distance d-1 of q is
+  in-bounds AND not a hit.
+
+So ONE gather of `dist` at the current sample replaces the occupancy gather
+(d==0 is exactly the hit test) and additionally licenses skipping
+floor((d - SKIP_SLACK) / vps) subsequent samples, where vps is the march
+step length in Chebyshev voxel units. On the gather-throughput-bound TPU
+(~10 ns/element regardless of gather size — scripts/bench_gather_overhead)
+march cost becomes proportional to LANDINGS instead of fixed-step samples.
+
+Unlike the round-1 single-level dilated block mip, a distance field degrades
+gracefully on dense-shell volumes (the 512^3 gyroid): near-surface probes
+simply skip 0 and the march proceeds at reference pace, while every
+free-space span is crossed in O(span/d) landings.
+
+Memory: 1 byte/voxel (a 512^3 field is 134 MB — same as the volume; both
+live in HBM).
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,67 +40,58 @@ from flax import struct
 
 _I32 = jnp.int32
 
+# Safety slack subtracted from d before converting to skippable steps: the
+# voxel coord is trunc-toward-zero of a float product, so a sample i steps
+# ahead can land up to floor(i*vps)+2 voxels away per axis (trunc difference
+# bound), and the f32 position/product rounding adds <<1 voxel more. Proof
+# obligation: i*vps + 2 + eps <= d - 1  =>  i <= (d - 3 - eps)/vps.
+SKIP_SLACK = 3.5
+
 
 @struct.dataclass
 class Accel:
-    """Dilated block-occupancy mip. `mip` is flat uint8, index
-    bz*(bxn*byn) + by*bxn + bx; static meta makes it jit-cache stable."""
+    """Per-voxel Chebyshev distance-to-stopping-set field (see module doc).
 
-    mip: jnp.ndarray
-    block_log2: int = struct.field(pytree_node=False)
-    dims: Tuple[int, int, int] = struct.field(pytree_node=False)  # (bxn, byn, bzn)
+    `dist` is flat uint8 with the volume's indexing z*(rx*ry) + y*rx + x.
+    """
+
+    dist: jnp.ndarray
 
 
-def build_accel(vol, voxel_res, iso_val, block_log2=5) -> Accel:
-    """Build the dilated occupancy mip on the host (numpy)."""
-    rx, ry, rz = voxel_res[0], voxel_res[1], voxel_res[2]
-    b = 1 << block_log2
+def chebyshev_distance_field(vol, voxel_res, iso_val, cap=255):
+    """Exact L-inf distance to {v > iso_val} U {outside}, capped. numpy in,
+    numpy uint8 out (flat)."""
+    from scipy.ndimage import distance_transform_cdt
+
+    rx, ry, rz = int(voxel_res[0]), int(voxel_res[1]), int(voxel_res[2])
     v = np.asarray(vol, np.uint8).reshape(rz, ry, rx)
-    bxn, byn, bzn = -(-rx // b), -(-ry // b), -(-rz // b)
-    vp = np.zeros((bzn * b, byn * b, bxn * b), np.uint8)
-    vp[:rz, :ry, :rx] = v
-    occ = (
-        vp.reshape(bzn, b, byn, b, bxn, b).max(axis=(1, 3, 5)) > iso_val
-    ).astype(np.uint8)
-    # dilate by one block, outside-volume = occupied
-    occ_p = np.pad(occ, 1, constant_values=1)
-    dil = np.zeros_like(occ)
-    for dz in (0, 1, 2):
-        for dy in (0, 1, 2):
-            for dx in (0, 1, 2):
-                np.maximum(
-                    dil, occ_p[dz : dz + bzn, dy : dy + byn, dx : dx + bxn], out=dil
-                )
-    return Accel(
-        mip=jnp.asarray(dil.reshape(-1)),
-        block_log2=int(block_log2),
-        dims=(int(bxn), int(byn), int(bzn)),
-    )
+    # distance_transform_cdt: distance from nonzero cells to the nearest
+    # ZERO cell. Input = free-mask padded with a zero (stopping) ring, so
+    # the boundary counts as stopping-set at distance 1 from edge voxels.
+    freep = np.zeros((rz + 2, ry + 2, rx + 2), dtype=np.uint8)
+    freep[1:-1, 1:-1, 1:-1] = v <= iso_val
+    d = distance_transform_cdt(freep, metric="chessboard")
+    d = d[1:-1, 1:-1, 1:-1]
+    return np.minimum(d, cap).astype(np.uint8).reshape(-1)
 
 
-def probe_empty(accel: Accel, opts, px, py, pz, active):
-    """True for rays whose current sample sits in an empty dilated block
-    (strictly inside the volume). p* are normalized [0,1) positions (N,)."""
+def build_accel(vol, voxel_res, iso_val) -> Accel:
+    """Build the distance-field accel on the host."""
+    return Accel(dist=jnp.asarray(chebyshev_distance_field(vol, voxel_res, iso_val)))
+
+
+def skips_per_distance(opts, delta):
+    """Per-ray multiplier turning a gathered distance d into a provably-safe
+    skip count: skip = floor((d - SKIP_SLACK) * inv_vps). delta: V3 of (N,)
+    normalized-space step vectors; vps = max-axis voxels per step.
+
+    Degenerate rays (vps == 0 => the sample never moves) get a huge
+    multiplier: any d > SKIP_SLACK proves EVERY later sample identical and
+    non-stopping, so jumping straight past the budget is exact (the
+    reference would burn its whole budget re-sampling one free voxel and
+    conclude no-hit, same outcome)."""
     rx, ry, rz, _ = opts.voxelRes
-    vx = (px * rx).astype(_I32)
-    vy = (py * ry).astype(_I32)
-    vz = (pz * rz).astype(_I32)
-    inb = (
-        (px >= 0) & (vx < rx) & (py >= 0) & (vy < ry) & (pz >= 0) & (vz < rz)
-    )
-    bl = accel.block_log2
-    bxn, byn, _ = accel.dims
-    bidx = (vz >> bl) * (bxn * byn) + (vy >> bl) * bxn + (vx >> bl)
-    mip = jnp.take(accel.mip, jnp.where(inb, bidx, 0), mode="clip")
-    return active & inb & (mip == 0)
-
-
-def skip_steps(accel: Accel, opts, delta):
-    """Per-ray step count safely skippable inside an empty dilated block:
-    floor((B-1) / max_axis |delta*res|) (0 disables skipping for that ray)."""
-    rx, ry, rz, _ = opts.voxelRes
-    b = 1 << accel.block_log2
-    dv = jnp.maximum(
+    vps = jnp.maximum(
         jnp.abs(delta.x) * rx, jnp.maximum(jnp.abs(delta.y) * ry, jnp.abs(delta.z) * rz)
     )
-    return jnp.where(dv > 0, ((b - 1) / jnp.maximum(dv, 1e-20)), 0.0).astype(_I32)
+    return jnp.where(vps > 0, 1.0 / jnp.maximum(vps, 1e-30), 1e30)

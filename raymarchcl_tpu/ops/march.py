@@ -40,15 +40,18 @@ from .vecmath import V3, dot, norm, normalize, where3
 # Samples gathered per ray per round of the fixed-step march: (CH, N)
 # planes, CH a multiple of the 8-sublane tile height. 16 balances round
 # count for long marches against speculative over-sampling for secondary
-# rays that stop immediately.
+# rays that stop immediately. (Plain path only — with a distance-field
+# accel the march gathers one distance value per landing instead.)
 MARCH_CHUNK = 16
 
 # Ground-only sphere-trace steps executed per raymarch round for rays whose
 # line misses the voxel box (see raymarch docstring).
 GROUND_STEPS = 16
 
-# Accel mip probes per march round (only with an Accel structure).
-MARCH_PROBES = 3
+# Distance-driven march probe steps unrolled per while_loop round (amortizes
+# round overhead; each probe is one (N,) gather plus vector math). 8 was the
+# sweep optimum on v5e (scripts/tune.py, 256^2 ao: 472 ms vs 516 at 4).
+DIST_UNROLL = 8
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -184,22 +187,27 @@ def voxel_normal_smooth(vol, opts, q: V3) -> V3:
 
 def march_volume(
     vol, opts, p0: V3, delta: V3, steps, active, chunk=None,
-    accel=None, probes=None, max_k=None, max_k_dyn=None,
+    accel=None, max_k=None, max_k_dyn=None,
 ):
     """Fixed-step march through normalized volume space
     (reference: renderer.cl:219-234): the first k in [0, steps) whose sample
     leaves the grid (break) or exceeds isoVal (hit).
 
-    Per while-round: build (chunk, N) coordinate planes, one batched gather,
-    argmax first-hit/first-exit resolution. Early-exits when every ray
-    stopped. Returns (hit (N,) bool, hit_k (N,) int32); the hit voxel VALUE
-    is re-fetched by the caller from hit_k (one (N,) gather) instead of
-    being threaded through the loop.
+    Returns (hit (N,) bool, hit_k (N,) int32); the hit voxel VALUE is
+    re-fetched by the caller from hit_k (one (N,) gather) instead of being
+    threaded through the loop.
 
-    With `accel` (ops/accel.Accel), each round is preceded by `probes`
-    cheap mip lookups that jump rays through provably-empty blocks — the
-    per-ray step index k becomes variable, but every evaluated/skipped
-    sample resolves identically, so output is bit-equal to accel=None.
+    Two implementations, BIT-EQUAL by construction (tests/test_accel.py):
+
+    * accel=None: per while-round, build (chunk, N) coordinate planes, one
+      batched occupancy gather, argmax first-hit/first-exit resolution.
+      Early-exits when every ray stopped. Evaluates every fixed-step sample
+      like the reference.
+    * accel=ops.accel.Accel: distance-driven. Each landing gathers the
+      Chebyshev distance field instead of the volume: d==0 IS the stopping
+      test, d>0 licenses skipping floor((d-slack)*inv_vps) samples that are
+      provably in-bounds and below iso (see ops/accel.py). Gathered elements
+      = landings, not samples.
 
     `max_k` truncates the EVALUATED portion of the budget without changing
     the step length (delta still derives from `steps`): samples k >= max_k
@@ -208,38 +216,24 @@ def march_volume(
     `max_k_dyn` is the same cap per-ray as an (N,) int32 array (see
     raymarch's shadow truncation).
     """
-    from . import accel as accel_mod
-
+    if accel is not None:
+        return _march_volume_dist(
+            opts, accel, p0, delta, steps, active, max_k=max_k, max_k_dyn=max_k_dyn
+        )
     if chunk is None:
         chunk = MARCH_CHUNK
-    if probes is None:
-        probes = MARCH_PROBES
     eff = steps if max_k is None else min(steps, max_k)
     n = p0.x.shape[0]
     n_rounds = -(-eff // chunk)
     iso = _I32(opts.isoVal)
     ks = jnp.arange(chunk, dtype=_F32)[:, None]  # (CH, 1)
     ksi = jnp.arange(chunk, dtype=_I32)[:, None]
-    if accel is not None:
-        jump = accel_mod.skip_steps(accel, opts, delta)  # (N,) i32
-        can_skip = jump >= 1
 
     def cond(c):
         return (c[0] < n_rounds) & jnp.any(c[1])
 
     def body(c):
         i, act, k, hit, hit_k = c
-        if accel is not None:
-            for _ in range(probes):
-                kf = k.astype(_F32)
-                empty = accel_mod.probe_empty(
-                    accel, opts,
-                    p0.x + delta.x * kf,
-                    p0.y + delta.y * kf,
-                    p0.z + delta.z * kf,
-                    act & can_skip & (k < eff),
-                )
-                k = jnp.where(empty, k + jump, k)
         kk = k.astype(_F32)[None, :] + ks  # (CH, N)
         p = V3(
             p0.x[None, :] + delta.x[None, :] * kk,
@@ -281,6 +275,64 @@ def march_volume(
         jnp.zeros((n,), _I32),
     )
     _, _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
+    return hit, hit_k
+
+
+def _march_volume_dist(opts, accel, p0: V3, delta: V3, steps, active, max_k=None, max_k_dyn=None):
+    """Distance-driven fixed-step march (see march_volume). Per probe step:
+    one (N,) gather of the Chebyshev distance field at the current sample;
+    stop on out-of-bounds (break) or d==0 (hit, since d counts exactly the
+    {v > isoVal} U {outside} set); otherwise advance 1 + provable skip.
+
+    Exactness: every skipped sample index lies strictly within the gathered
+    distance of the probe voxel (incl. trunc + f32 slack, ops/accel.py), so
+    it is provably in-bounds and not a hit — the first stopping landing is
+    the reference march's first stopping sample. Rays whose step budget is
+    exhausted (k reaches the cap before any stop) report hit=False exactly
+    like the plain path.
+    """
+    from .accel import SKIP_SLACK, skips_per_distance
+
+    eff = steps if max_k is None else min(steps, max_k)
+    n = p0.x.shape[0]
+    inv_vps = skips_per_distance(opts, delta)  # (N,) f32
+    cap = jnp.full((n,), eff, _I32)
+    if max_k_dyn is not None:
+        cap = jnp.minimum(cap, max_k_dyn)
+
+    def probe_step(act, k, hit, hit_k):
+        kf = k.astype(_F32)
+        p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
+        q = voxel_coord(opts, p)
+        valid, idx = _bounds_and_index(opts, q)
+        d = jnp.take(accel.dist, idx, mode="clip")  # (N,) uint8
+        stop_hit = valid & (d == 0)
+        newly = act & (~valid | stop_hit)
+        hit = jnp.where(newly, stop_hit, hit)
+        hit_k = jnp.where(newly, k, hit_k)
+        # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
+        # degenerate rays; 2^30 steps is "past any budget" either way)
+        skip = jnp.clip((d.astype(_F32) - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
+        k_next = k + 1 + skip
+        act = act & ~newly & (k_next < cap)
+        return act, k_next, hit, hit_k
+
+    def cond(c):
+        return jnp.any(c[0])
+
+    def body(c):
+        act, k, hit, hit_k = c
+        for _ in range(DIST_UNROLL):
+            act, k, hit, hit_k = probe_step(act, k, hit, hit_k)
+        return act, k, hit, hit_k
+
+    init = (
+        active & (cap > 0),
+        jnp.zeros((n,), _I32),
+        jnp.zeros((n,), bool),
+        jnp.zeros((n,), _I32),
+    )
+    _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
     return hit, hit_k
 
 

@@ -1,5 +1,5 @@
 """Parameter sweep harness for the TPU chip: MARCH_CHUNK, GROUND_STEPS,
-accel block size / probe count. Run on hardware; prints a sorted table.
+DIST_UNROLL, accel on/off. Run on hardware; prints a sorted table.
 
 Usage: python scripts/tune.py [--size 256] [--spp 1] [--vres 256] [--mat ao]
 """
@@ -16,16 +16,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_config(vol, volume_np, opts, tables, chunk, ground, bl2, probes, reps=2):
+def time_config(vol, volume_np, opts, tables, chunk, ground, unroll, use_accel, reps=2):
     from raymarchcl_tpu.ops import accel as accel_mod
     from raymarchcl_tpu.ops import march, render as render_mod
 
     march.MARCH_CHUNK = chunk
     march.GROUND_STEPS = ground
-    march.MARCH_PROBES = probes
+    march.DIST_UNROLL = unroll
     acc = (
-        accel_mod.build_accel(volume_np, opts.voxelRes, opts.isoVal, block_log2=bl2)
-        if bl2
+        accel_mod.build_accel(volume_np, opts.voxelRes, opts.isoVal)
+        if use_accel
         else None
     )
     # fresh jit (module constants changed)
@@ -54,10 +54,10 @@ def main():
     ap.add_argument("--spp", type=int, default=1)
     ap.add_argument("--vres", type=int, default=256)
     ap.add_argument("--mat", default="ao")
-    ap.add_argument("--chunks", default="8,16,32")
-    ap.add_argument("--grounds", default="8,16,32")
-    ap.add_argument("--blocks", default="0,4,5,6")  # 0 = no accel
-    ap.add_argument("--probes", default="3")
+    ap.add_argument("--chunks", default="16")
+    ap.add_argument("--grounds", default="16")
+    ap.add_argument("--unrolls", default="2,4,8")
+    ap.add_argument("--accels", default="0,1")
     args = ap.parse_args()
 
     from raymarchcl_tpu.api import default_volume
@@ -79,24 +79,24 @@ def main():
         itertools.product(
             [int(x) for x in args.chunks.split(",")],
             [int(x) for x in args.grounds.split(",")],
-            [int(x) for x in args.blocks.split(",")],
-            [int(x) for x in args.probes.split(",")],
+            [int(x) for x in args.unrolls.split(",")],
+            [int(x) for x in args.accels.split(",")],
         )
     )
-    for chunk, ground, bl2, probes in grid:
+    for chunk, ground, unroll, use_accel in grid:
         try:
-            dt = time_config(vol, volume_np, opts, tables, chunk, ground, bl2, probes)
-            rows.append((dt, chunk, ground, bl2, probes))
-            print(f"chunk={chunk:<3} ground={ground:<3} block=2^{bl2} probes={probes}: "
+            dt = time_config(vol, volume_np, opts, tables, chunk, ground, unroll, use_accel)
+            rows.append((dt, chunk, ground, unroll, use_accel))
+            print(f"chunk={chunk:<3} ground={ground:<3} unroll={unroll} accel={use_accel}: "
                   f"{dt*1e3:8.1f} ms", flush=True)
         except Exception as e:
-            print(f"chunk={chunk} ground={ground} block=2^{bl2}: FAILED {e}",
+            print(f"chunk={chunk} ground={ground} unroll={unroll}: FAILED {e}",
                   flush=True)
     rows.sort()
     print("\nbest configs:")
-    for dt, chunk, ground, bl2, probes in rows[:5]:
-        print(f"  {dt*1e3:8.1f} ms  chunk={chunk} ground={ground} block=2^{bl2} "
-              f"probes={probes}")
+    for dt, chunk, ground, unroll, use_accel in rows[:5]:
+        print(f"  {dt*1e3:8.1f} ms  chunk={chunk} ground={ground} unroll={unroll} "
+              f"accel={use_accel}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
-"""Empty-space-skip accel tests: the accelerated march must be BIT-EQUAL to
-the plain march — skipping is only allowed where provably inconsequential."""
+"""Empty-space-skip accel tests: the distance-driven march must be BIT-EQUAL
+to the plain march — skipping is only allowed where provably inconsequential.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -14,30 +15,67 @@ from raymarchcl_tpu.ops.vecmath import V3
 from raymarchcl_tpu.options import render_options
 
 
-@pytest.fixture(scope="module", params=[4, 5])
-def scene(request):
+@pytest.fixture(scope="module")
+def scene():
     vol_np = generators.make_gyroid_volume({"vres": [32, 32, 96]})
     opts = render_options(
         width=32, height=24, vres=[32, 32, 96], iter=2, mat="metal",
         maxIter=32, maxVoxelIter=64, shadowIter=32,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
-    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal,
-                                block_log2=request.param)
-    return jnp.asarray(vol_np), opts, acc
+    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
+    return jnp.asarray(vol_np), vol_np, opts, acc
 
 
-def test_build_accel_marks_boundary_occupied(scene):
-    _, opts, acc = scene
-    bxn, byn, bzn = acc.dims
-    mip = np.asarray(acc.mip).reshape(bzn, byn, bxn)
-    assert mip[0].all() and mip[-1].all()
-    assert mip[:, 0].all() and mip[:, -1].all()
-    assert mip[:, :, 0].all() and mip[:, :, -1].all()
+def _brute_chebyshev(vol_np, res, iso):
+    """O(N*M) reference distance field for tiny volumes."""
+    rx, ry, rz = res
+    v = vol_np.reshape(rz, ry, rx)
+    occ = np.argwhere(v > iso)  # (M, 3) in (z, y, x)
+    out = np.empty((rz, ry, rx), np.int64)
+    for z in range(rz):
+        for y in range(ry):
+            for x in range(rx):
+                db = min(z + 1, rz - z, y + 1, ry - y, x + 1, rx - x)
+                if len(occ):
+                    d = np.abs(occ - np.array([z, y, x])).max(axis=1).min()
+                    db = min(db, d)
+                out[z, y, x] = db
+    return out.reshape(-1)
+
+
+def test_distance_field_exact_vs_bruteforce():
+    rng = np.random.default_rng(7)
+    vol_np = (rng.random(6 * 7 * 8) < 0.04).astype(np.uint8) * 200
+    res = (8, 7, 6)  # (rx, ry, rz)
+    d = accel_mod.chebyshev_distance_field(vol_np, res, iso_val=32)
+    ref = np.minimum(_brute_chebyshev(vol_np, res, 32), 255)
+    np.testing.assert_array_equal(d.astype(np.int64), ref)
+
+
+def test_distance_field_zero_exactly_at_hits(scene):
+    _, vol_np, opts, acc = scene
+    d = np.asarray(acc.dist)
+    np.testing.assert_array_equal(d == 0, vol_np > opts.isoVal)
+
+
+def test_distance_field_bounded_by_boundary(scene):
+    """No voxel's distance may exceed its distance to the grid boundary —
+    the march must never skip past its first out-of-bounds exit."""
+    _, vol_np, opts, acc = scene
+    rx, ry, rz, _ = opts.voxelRes
+    d = np.asarray(acc.dist).reshape(rz, ry, rx)
+    z, y, x = np.meshgrid(
+        np.arange(rz), np.arange(ry), np.arange(rx), indexing="ij"
+    )
+    db = np.minimum.reduce(
+        [z + 1, rz - z, y + 1, ry - y, x + 1, rx - x]
+    )
+    assert (d <= db).all()
 
 
 def test_raymarch_bit_equal(scene):
-    vol, opts, acc = scene
+    vol, _, opts, acc = scene
     rng = np.random.default_rng(5)
     n = 256
     rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
@@ -57,8 +95,39 @@ def test_raymarch_bit_equal(scene):
     )
 
 
+def test_march_volume_bit_equal_with_caps(scene):
+    """march_volume parity incl. the max_k / max_k_dyn truncation paths."""
+    vol, _, opts, acc = scene
+    rng = np.random.default_rng(11)
+    n = 512
+    p0 = V3.from_array(jnp.asarray(rng.uniform(-0.4, 1.4, (n, 3)).astype(np.float32)))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    scale = 2.0 / opts.maxVoxelIter
+    delta = V3.from_array(jnp.asarray(d * scale * 0.5))
+    act = jnp.ones((n,), bool)
+    mkd = jnp.asarray(rng.integers(0, opts.maxVoxelIter + 1, n, dtype=np.int32))
+    for kwargs in (
+        {},
+        {"max_k": 7},
+        {"max_k": 0},
+        {"max_k_dyn": mkd},
+        {"max_k": 13, "max_k_dyn": mkd},
+    ):
+        h_a, k_a = march.march_volume(
+            vol, opts, p0, delta, opts.maxVoxelIter, act, **kwargs
+        )
+        h_b, k_b = march.march_volume(
+            vol, opts, p0, delta, opts.maxVoxelIter, act, accel=acc, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(h_a), np.asarray(h_b))
+        # the first stopping sample (hit OR first-exit) must agree exactly;
+        # budget-exhausted rays leave hit_k at 0 on both paths
+        np.testing.assert_array_equal(np.asarray(k_a), np.asarray(k_b))
+
+
 def test_full_render_bit_equal(scene):
-    vol, opts, acc = scene
+    vol, _, opts, acc = scene
     tables = make_mc_tables(2, seed=4)
     argb_plain, accum_plain = render_mod.render_image(vol, opts, tables)
     argb_acc, accum_acc = render_mod.render_image(vol, opts, tables, accel=acc)
@@ -73,7 +142,7 @@ def test_terrain_render_bit_equal():
         maxIter=24, maxVoxelIter=48, shadowIter=24,
         eyepos=compute_eyepos(45.0, 2.5, 0.8), targetpos=[0, 0, 0],
     )
-    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal, block_log2=4)
+    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
     vol = jnp.asarray(vol_np)
     tables = make_mc_tables(1, seed=1)
     a, _ = render_mod.render_image(vol, opts, tables)
@@ -84,11 +153,25 @@ def test_terrain_render_bit_equal():
 def test_empty_volume_all_skippable():
     vol_np = np.zeros(32**3, np.uint8)
     opts = render_options(width=8, height=8, vres=32, iter=1, maxVoxelIter=64)
-    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal, block_log2=3)
-    mip = np.asarray(acc.mip).reshape(4, 4, 4)
-    assert mip[1:-1, 1:-1, 1:-1].sum() == 0  # interior empty
+    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
+    d = np.asarray(acc.dist).reshape(32, 32, 32)
+    assert d[16, 16, 16] == 16  # center: distance to boundary only
     vol = jnp.asarray(vol_np)
     tables = make_mc_tables(1, seed=0)
+    a, _ = render_mod.render_image(vol, opts, tables)
+    b, _ = render_mod.render_image(vol, opts, tables, accel=acc)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dense_volume_render_bit_equal():
+    """Fully-occupied volume: every interior distance is 0 — the accel must
+    degrade to reference pace, not break."""
+    vol_np = np.full(16**3, 255, np.uint8)
+    opts = render_options(width=8, height=8, vres=16, iter=1, maxVoxelIter=32)
+    acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
+    assert np.asarray(acc.dist).max() == 0
+    vol = jnp.asarray(vol_np)
+    tables = make_mc_tables(1, seed=3)
     a, _ = render_mod.render_image(vol, opts, tables)
     b, _ = render_mod.render_image(vol, opts, tables, accel=acc)
     np.testing.assert_array_equal(a, b)

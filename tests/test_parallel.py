@@ -56,7 +56,7 @@ def test_tiled_with_accel_bit_equal(scene):
     vol, opts, tables = scene
     from raymarchcl_tpu.ops.accel import build_accel
 
-    acc = build_accel(np.asarray(vol), opts.voxelRes, opts.isoVal, block_log2=4)
+    acc = build_accel(np.asarray(vol), opts.voxelRes, opts.isoVal)
     argb_1, _ = render_mod.render_image(vol, opts, tables)
     argb_t, _ = tiling.render_image_tiled(
         vol, opts, tables, mesh=tiling.make_mesh(), accel=acc
