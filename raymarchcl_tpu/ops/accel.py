@@ -52,10 +52,20 @@ SKIP_SLACK = 3.5
 class Accel:
     """Per-voxel Chebyshev distance-to-stopping-set field (see module doc).
 
-    `dist` is flat uint8 with the volume's indexing z*(rx*ry) + y*rx + x.
+    `packed` is flat uint16 with the volume's indexing z*(rx*ry) + y*rx + x:
+    dist | (voxel_value << 8) — ONE gather yields both the stopping test
+    (low byte == 0) and the hit voxel's value (high byte), so the marches
+    need no second value fetch (gather cost is per-ELEMENT,
+    dtype-independent, so u16 is free).
+
+    `words` is the raw volume packed 4 voxels per uint32 along x (byte i of
+    word j = voxel 4j+i), or None when rx % 4 != 0. The 5^3 smooth-normal
+    neighborhood reads 2 words per (y, z) row instead of 5 bytes — 50
+    gathered elements instead of 125 (ops/march.voxel_normal_smooth).
     """
 
-    dist: jnp.ndarray
+    packed: jnp.ndarray
+    words: jnp.ndarray | None = None
 
 
 def chebyshev_distance_field(vol, voxel_res, iso_val, cap=255):
@@ -77,7 +87,14 @@ def chebyshev_distance_field(vol, voxel_res, iso_val, cap=255):
 
 def build_accel(vol, voxel_res, iso_val) -> Accel:
     """Build the distance-field accel on the host."""
-    return Accel(dist=jnp.asarray(chebyshev_distance_field(vol, voxel_res, iso_val)))
+    d = chebyshev_distance_field(vol, voxel_res, iso_val)
+    v = np.asarray(vol, np.uint8).reshape(-1)
+    packed = d.astype(np.uint16) | (v.astype(np.uint16) << 8)
+    words = None
+    if voxel_res[0] % 4 == 0:
+        # little-endian u32 view: byte i of word j = voxel 4j+i
+        words = jnp.asarray(np.ascontiguousarray(v).view("<u4"))
+    return Accel(packed=jnp.asarray(packed), words=words)
 
 
 def skips_per_distance(opts, delta):

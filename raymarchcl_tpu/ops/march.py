@@ -158,20 +158,66 @@ def voxel_normal_fast(vol, opts, q: V3) -> V3:
     return normalize(-n)
 
 
-def voxel_normal_smooth(vol, opts, q: V3) -> V3:
+def _occ5_words(words, opts, q: V3):
+    """(5, 5, 5, N) occupancy block around q from 2 word-gathers per (y, z)
+    row: rows are x-contiguous and word-aligned (rx % 4 == 0), so the 5
+    bytes [qx-2, qx+2] always live in 2 consecutive uint32 words; a 32-bit
+    funnel shift extracts them. 50 gathered elements/ray instead of 125;
+    values identical to the byte path (occupancy_i semantics incl. bounds).
+    Axis order matches the byte path: [dx, dy, dz, ray].
+    """
+    rx, ry, rz, rxy = opts.voxelRes
+    n = q.x.shape[0]
+    x0 = q.x - 2  # (N,)
+    w0 = x0 >> 2  # floor((qx-2)/4) — arithmetic shift floors negatives
+    off = (x0 & 3).astype(jnp.uint32)  # byte offset of qx-2 in its word
+    dyz = jnp.arange(-2, 3, dtype=_I32)
+    y = q.y[None, :] + dyz[:, None]  # (5, N)
+    z = q.z[None, :] + dyz[:, None]
+    row_valid = ((y >= 0) & (y < ry))[None] & ((z >= 0) & (z < rz))[:, None]  # (5z,5y,N)
+    base = (z[:, None, :] * rxy + y[None, :, :] * rx) // 4 + w0[None, None, :]
+    nwords = rxy * rz // 4
+    base = jnp.clip(jnp.where(row_valid, base, 0), 0, nwords - 1)
+    widx = jnp.stack([base, jnp.minimum(base + 1, nwords - 1)], axis=0)  # (2,5z,5y,N)
+    wv = jnp.take(words, widx.reshape(2, -1), mode="clip").reshape(2, 5, 5, n)
+    w1, w2 = wv[0], wv[1]  # (5z, 5y, N) uint32
+    sh = off * jnp.uint32(8)
+    # 64-bit funnel shift in 32-bit ops: bytes [off, off+4] of (w2:w1)
+    lo = jnp.where(sh == 0, w1, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)))
+    hi = w2 >> sh
+    iso = jnp.uint32(opts.isoVal)
+    m = jnp.uint32(0xFF)
+    bts = [
+        lo & m, (lo >> jnp.uint32(8)) & m, (lo >> jnp.uint32(16)) & m,
+        (lo >> jnp.uint32(24)) & m, hi & m,
+    ]
+    xs = x0[None, None, :] + 0  # (1, 1, N) broadcast base
+    occ = []
+    for i, b in enumerate(bts):  # i = dx index 0..4
+        xv = (xs + i >= 0) & (xs + i < rx) & row_valid  # (5z, 5y, N)
+        occ.append(jnp.where(xv & (b >= iso), 1.0, 0.0).astype(_F32))
+    # stack dx first, then transpose (dx, dz, dy, N) -> [dx, dy, dz, ray]
+    return jnp.stack(occ, axis=0).transpose(0, 2, 1, 3)
+
+
+def voxel_normal_smooth(vol, opts, q: V3, words=None) -> V3:
     """Sum of gradient normals over the occupied 3x3x3 neighborhood,
     normalized (reference: renderer.cl:190-203).
 
-    One (125, N) occupancy gather; gradients by shifted slicing of the
+    One (125, N) occupancy gather (or the 2.5x cheaper (50, N) word-packed
+    gather when `words` is available); gradients by shifted slicing of the
     (5, 5, 5, N) occupancy block.
     """
     n = q.x.shape[0]
-    qq = V3(
-        q.x[None, :] + jnp.asarray(_OX5)[:, None],
-        q.y[None, :] + jnp.asarray(_OY5)[:, None],
-        q.z[None, :] + jnp.asarray(_OZ5)[:, None],
-    )
-    occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, n)  # [dx, dy, dz, ray]
+    if words is not None and opts.voxelRes[0] % 4 == 0:
+        occ = _occ5_words(words, opts, q)  # [dx, dy, dz, ray]
+    else:
+        qq = V3(
+            q.x[None, :] + jnp.asarray(_OX5)[:, None],
+            q.y[None, :] + jnp.asarray(_OY5)[:, None],
+            q.z[None, :] + jnp.asarray(_OZ5)[:, None],
+        )
+        occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, n)  # [dx, dy, dz, ray]
     c = occ[1:4, 1:4, 1:4]
     gx = occ[2:5, 1:4, 1:4] - occ[0:3, 1:4, 1:4]
     gy = occ[1:4, 2:5, 1:4] - occ[1:4, 0:3, 1:4]
@@ -305,7 +351,7 @@ def _march_volume_dist(opts, accel, p0: V3, delta: V3, steps, active, max_k=None
         p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
         q = voxel_coord(opts, p)
         valid, idx = _bounds_and_index(opts, q)
-        d = jnp.take(accel.dist, idx, mode="clip")  # (N,) uint8
+        d = jnp.take(accel.packed, idx, mode="clip") & jnp.uint16(0xFF)  # (N,)
         stop_hit = valid & (d == 0)
         newly = act & (~valid | stop_hit)
         hit = jnp.where(newly, stop_hit, hit)
@@ -390,13 +436,16 @@ def _np3(x):
     return tuple(float(v) for v in x)
 
 
-def isec_normal(vol, opts, hit, q, gd, rdir: V3, smooth):
+def isec_normal(vol, opts, hit, q, gd, rdir: V3, smooth, words=None):
     """Deferred normal for a distance_to_scene / raymarch result
     (reference: renderer.cl:212 ground/backstop, :225-229 voxel gradient)."""
     ground_n = where3(
         gd < 1e5, V3.const((0.0, 1.0, 0.0), like=rdir), -rdir
     )
-    vn = (voxel_normal_smooth if smooth else voxel_normal_fast)(vol, opts, q)
+    if smooth:
+        vn = voxel_normal_smooth(vol, opts, q, words=words)
+    else:
+        vn = voxel_normal_fast(vol, opts, q)
     return where3(hit, vn, ground_n)
 
 
@@ -413,17 +462,31 @@ def raymarch(
     chunk=None,
     accel=None,
     truncate_to_max_dist=False,
+    want_stats=False,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
     max_dist may be scalar or per-ray (N,). max_steps/smooth/want_normal are
     static. Returns dict isec {pos: V3, distance, object_id, normal?: V3}.
 
-    Keeps the reference's loop structure: each round re-marches the volume
-    from the current position (renderer.cl:245); rounds stop when all rays
-    converged (|d| <= eps), escaped (>= max_dist), or the budget ran out;
-    misses rewrite to objectID=-1 / distance=1000 (renderer.cl:252-256).
-    Normals resolve once post-loop from the tracked hit voxel.
+    Per-ray semantics keep the reference's loop structure: each round
+    re-marches the volume from the current position (renderer.cl:245);
+    rounds stop when the ray converged (|d| <= eps), escaped (>= max_dist),
+    or the budget ran out; misses rewrite to objectID=-1 / distance=1000
+    (renderer.cl:252-256). Normals resolve once post-loop from the tracked
+    hit voxel.
+
+    Two schedulings of the identical per-ray computation (bit-equal,
+    tests/test_accel.py):
+
+    * accel=None: nested loops — an outer sphere-trace while_loop whose body
+      runs the chunked march_volume to completion each round. Every lane
+      waits for the band's slowest inner march every round.
+    * accel=Accel: `_raymarch_flat` — a single while_loop over a per-lane
+      state machine (SETUP/MARCH/GROUND/BOOK/DONE); each lane flows through
+      its own probe steps, sphere transitions and ground steps continuously,
+      so a band pays max-over-rays of TOTAL probes instead of
+      sum-over-rounds of per-round maxima.
 
     With truncate_to_max_dist=True (used for shadow rays, whose only
     consumer is `distance >= light_max_dist`), each round's volume march is
@@ -436,13 +499,48 @@ def raymarch(
     Ground-tail fast path: rays whose LINE misses the voxel box
     (intersectsBox < 0 — permanent once true) have a purely scalar scene
     distance (the ground plane), so instead of one sphere-trace step per
-    round they iterate GROUND_STEPS steps of the exact same recurrence in
-    cheap unrolled (N,) math — replicating the reference's per-step ops
-    bit-for-bit while collapsing the long convergence tail of grazing
-    ground/sky rays. Per-ray step counters keep the maxIter budget exact.
+    round they iterate GROUND_STEPS (flat: FLAT_GROUND_STEPS per
+    application) steps of the exact same recurrence in cheap unrolled (N,)
+    math — replicating the reference's per-step ops bit-for-bit while
+    collapsing the long convergence tail of grazing ground/sky rays.
+    Per-ray step counters keep the maxIter budget exact.
     """
     n = ray_pos.x.shape[0]
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
+    if accel is not None:
+        c = _raymarch_flat(
+            accel, opts, ray_pos, ray_dir, max_dist, max_steps, active,
+            truncate_to_max_dist,
+        )
+    else:
+        c = _raymarch_nested(
+            opts, vol, ray_pos, ray_dir, max_dist, max_steps, active, chunk,
+            truncate_to_max_dist,
+        )
+
+    miss = c["dist"] >= max_dist
+    isec = {
+        "pos": where3(miss, ray_pos + ray_dir * c["dist"], c["pos"]),
+        "distance": jnp.where(miss, 1000.0, c["dist"]),
+        "object_id": jnp.where(miss, -1, c["obj"]),
+    }
+    if want_normal:
+        isec["normal"] = isec_normal(
+            vol, opts, c["hit"] & ~miss, c["q"], c["gd"], ray_dir, smooth,
+            words=accel.words if accel is not None else None,
+        )
+    if want_stats:  # scheduling diagnostics (scripts/profile_stages.py)
+        isec["rounds"] = c["round"]  # while rounds paid (band worst-ray)
+        isec["steps"] = c["s"]  # per-ray sphere steps consumed (useful work)
+    return isec
+
+
+def _raymarch_nested(
+    opts, vol, ray_pos, ray_dir, max_dist, max_steps, active, chunk,
+    truncate_to_max_dist,
+):
+    """Reference-structured scheduling of the sphere trace (see raymarch)."""
+    n = ray_pos.x.shape[0]
     bmin = _np3(opts.voxelBoundsMin)
     bmax = _np3(opts.voxelBoundsMax)
     if truncate_to_max_dist:
@@ -512,7 +610,7 @@ def raymarch(
             ).astype(_I32)
         # --- slow path: full scene distance incl. volume march (1 step) ---
         sd = distance_to_scene(
-            vol, opts, pos, ray_dir, opts.maxVoxelIter, slow, chunk, accel,
+            vol, opts, pos, ray_dir, opts.maxVoxelIter, slow, chunk,
             idist=idist, max_k_dyn=mkd,
         )
         done = (jnp.abs(sd["dist"]) <= opts.eps) | (c["dist"] >= max_dist)
@@ -541,16 +639,241 @@ def raymarch(
             c = one_ground_step(fast0 & c["active"], c)
         return c
 
-    c = jax.lax.while_loop(cond, body, carry)
+    return jax.lax.while_loop(cond, body, carry)
 
-    miss = c["dist"] >= max_dist
-    isec = {
-        "pos": where3(miss, ray_pos + ray_dir * c["dist"], c["pos"]),
-        "distance": jnp.where(miss, 1000.0, c["dist"]),
-        "object_id": jnp.where(miss, -1, c["obj"]),
-    }
-    if want_normal:
-        isec["normal"] = isec_normal(
-            vol, opts, c["hit"] & ~miss, c["q"], c["gd"], ray_dir, smooth
+
+# Flat-engine lane modes. DONE must be 0 (cond tests mode != 0).
+_M_DONE, _M_SETUP, _M_MARCH, _M_GROUND, _M_BOOK = 0, 1, 2, 3, 4
+
+# State-machine applications unrolled per while round, and ground-only
+# sphere steps executed per application for GROUND-mode lanes.
+FLAT_UNROLL = 8
+FLAT_GROUND_STEPS = 4
+
+
+def _raymarch_flat(
+    accel, opts, ray_pos, ray_dir, max_dist, max_steps, active,
+    truncate_to_max_dist,
+):
+    """Flattened scheduling of the sphere trace (see raymarch docstring).
+
+    One while_loop over a per-lane state machine:
+
+      SETUP  -> sphere-round prologue: ground distance, box test, march
+                setup (p0/k/cap); branches to MARCH, GROUND or BOOK.
+      MARCH  -> one distance-driven probe per application: a single u16
+                gather of accel.packed yields the Chebyshev distance (low
+                byte: 0 == this sample stops the march) AND the voxel value
+                (high byte: the material input) — no second fetch. Non-stop
+                probes advance k by 1 + the provable skip (ops/accel.py).
+                On stop/budget-exhaustion, sphere bookkeeping runs in the
+                same application and the lane returns to SETUP (or DONE).
+      GROUND -> FLAT_GROUND_STEPS exact ground-only sphere steps per
+                application (box re-entry exits to SETUP, no step consumed).
+      BOOK   -> sphere round whose scene distance is the ground term only
+                (box ahead but ground closer, or a zero march budget).
+
+    Per-ray operation sequences (and so all float values) are identical to
+    _raymarch_nested + the distance march; only lane scheduling differs —
+    a lane never waits for the band's slowest inner march. Bit-equal
+    (tests/test_accel.py).
+    """
+    from .accel import SKIP_SLACK, skips_per_distance
+
+    n = ray_pos.x.shape[0]
+    bmin = _np3(opts.voxelBoundsMin)
+    bmax = _np3(opts.voxelBoundsMax)
+    inv_s = _np3(opts.invVoxelScale)
+    vb = _np3(opts.voxelBounds)
+    vb2 = _np3(opts.voxelBounds2)
+    steps = opts.maxVoxelIter
+    scale = 1.0 / (steps * 0.5)
+    delta = V3(
+        ray_dir.x * scale * inv_s[0],
+        ray_dir.y * scale * inv_s[1],
+        ray_dir.z * scale * inv_s[2],
+    )
+    inv_vps = skips_per_distance(opts, delta)
+    if truncate_to_max_dist:
+        f_min = min(a * b for a, b in zip(inv_s, vb2))
+        base_step = (2.0 / steps) * f_min
+        inv_steplen = 1.0 / (base_step * jnp.maximum(norm(ray_dir), 1e-20))
+
+    def _ground_res(pos):
+        gd = pos.y + opts.groundY
+        res_d, res_m = dist_union(
+            gd, gd, jnp.full_like(gd, 1e5), jnp.full_like(gd, -1.0)
         )
-    return isec
+        return gd, res_d, res_m
+
+    def _setup(c):
+        m = c["mode"] == _M_SETUP
+        pos = ray_pos + ray_dir * c["dist"]
+        gd, res_d, _ = _ground_res(pos)
+        idist = intersects_box(bmin, bmax, pos, ray_dir)
+        if truncate_to_max_dist:
+            remaining = max_dist - c["dist"]
+            cap_new = jnp.clip(
+                (remaining + opts.eps + opts.voxelSize) * inv_steplen + 3.0,
+                0.0,
+                _F32(steps),
+            ).astype(_I32)
+        else:
+            cap_new = jnp.full((n,), steps, _I32)
+        to_ground = idist < 0.0
+        to_march = (idist >= 0.0) & (idist < res_d) & (cap_new > 0)
+        adv = jnp.where(idist > 0.0, idist, 0.0)
+        p0 = V3(
+            (pos.x + vb[0] + ray_dir.x * adv) * inv_s[0],
+            (pos.y + vb[1] + ray_dir.y * adv) * inv_s[1],
+            (pos.z + vb[2] + ray_dir.z * adv) * inv_s[2],
+        )
+        mode = jnp.where(
+            m,
+            jnp.where(
+                to_ground,
+                _I32(_M_GROUND),
+                jnp.where(to_march, _I32(_M_MARCH), _I32(_M_BOOK)),
+            ),
+            c["mode"],
+        )
+        return {
+            **c,
+            "mode": mode,
+            "k": jnp.where(m, 0, c["k"]),
+            "cap": jnp.where(m, cap_new, c["cap"]),
+            "p0": where3(m, p0, c["p0"]),
+        }
+
+    def _march_and_book(c):
+        in_march = c["mode"] == _M_MARCH
+        kf = c["k"].astype(_F32)
+        p = V3(
+            c["p0"].x + delta.x * kf,
+            c["p0"].y + delta.y * kf,
+            c["p0"].z + delta.z * kf,
+        )
+        qc = voxel_coord(opts, p)
+        valid, idx = _bounds_and_index(opts, qc)
+        pk = jnp.take(accel.packed, idx, mode="clip")  # (N,) uint16
+        d8 = (pk & jnp.uint16(0xFF)).astype(_F32)
+        v = (pk >> jnp.uint16(8)).astype(_I32)  # voxel value at the sample
+        stop_hit = valid & (d8 == 0.0)
+        stop = in_march & (~valid | stop_hit)
+        skip = jnp.clip((d8 - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
+        k_next = c["k"] + 1 + skip
+        budget_out = in_march & ~stop & (k_next >= c["cap"])
+        march_end = stop | budget_out
+        m_hit = stop_hit & in_march  # budget_out implies ~stop_hit
+
+        # scene-distance resolution + sphere bookkeeping for lanes whose
+        # march just ended and for BOOK lanes (ground-term-only rounds)
+        be = march_end | (c["mode"] == _M_BOOK)
+        pos = ray_pos + ray_dir * c["dist"]
+        gd, res_d, res_m = _ground_res(pos)
+        world = V3(p.x * vb2[0] - vb[0], p.y * vb2[1] - vb[1], p.z * vb2[2] - vb[2])
+        vdist = norm(pos - world) - opts.voxelSize
+        vmat = voxel_material(v)
+        hd, hm = dist_union(vdist, vmat, res_d, res_m)
+        sd_d = jnp.where(m_hit, hd, res_d)
+        sd_m = jnp.where(m_hit, hm, res_m)
+        done = (jnp.abs(sd_d) <= opts.eps) | (c["dist"] >= max_dist)
+        s = jnp.where(be, c["s"] + 1, c["s"])
+        fin = done | (s >= max_steps)
+        return {
+            **c,
+            "mode": jnp.where(
+                be, jnp.where(fin, _I32(_M_DONE), _I32(_M_SETUP)), c["mode"]
+            ),
+            "s": s,
+            "dist_prev": jnp.where(be, c["dist"], c["dist_prev"]),
+            "dist": jnp.where(be & ~done, c["dist"] + sd_d, c["dist"]),
+            "obj": jnp.where(be, sd_m.astype(_I32), c["obj"]),
+            "hit": jnp.where(be, m_hit, c["hit"]),
+            "q": V3(
+                jnp.where(be, qc.x, c["q"].x),
+                jnp.where(be, qc.y, c["q"].y),
+                jnp.where(be, qc.z, c["q"].z),
+            ),
+            "gd": jnp.where(be, gd, c["gd"]),
+            "k": jnp.where(in_march & ~march_end, k_next, c["k"]),
+        }
+
+    def _ground(c):
+        # python-unrolled: each ground step is ~50 fused elementwise ops —
+        # cheap to compile, while loop-carrying them would pay per-iteration
+        # overhead on every state-machine step
+        for _ in range(FLAT_GROUND_STEPS):
+            g = c["mode"] == _M_GROUND
+            pos = ray_pos + ray_dir * c["dist"]
+            exit_ = g & (intersects_box(bmin, bmax, pos, ray_dir) >= 0.0)
+            a = g & ~exit_
+            gd, res_d, res_m = _ground_res(pos)
+            done = (jnp.abs(res_d) <= opts.eps) | (c["dist"] >= max_dist)
+            s = jnp.where(a, c["s"] + 1, c["s"])
+            fin = done | (s >= max_steps)
+            c = {
+                **c,
+                "mode": jnp.where(
+                    exit_,
+                    _I32(_M_SETUP),
+                    jnp.where(a & fin, _I32(_M_DONE), c["mode"]),
+                ),
+                "s": s,
+                "dist_prev": jnp.where(a, c["dist"], c["dist_prev"]),
+                "dist": jnp.where(a & ~done, c["dist"] + res_d, c["dist"]),
+                "obj": jnp.where(a, res_m.astype(_I32), c["obj"]),
+                "hit": jnp.where(a, False, c["hit"]),
+                "gd": jnp.where(a, gd, c["gd"]),
+            }
+        return c
+
+    def cond(c):
+        return jnp.any(c["mode"] != _M_DONE)
+
+    def body(c):
+        # fori_loop of a 2x-unrolled step (not full python unrolling) so the
+        # ~200-op state-machine step is compiled only twice per raymarch
+        # call site: a reflective preset instantiates raymarch a dozen times
+        # and fully-unrolled steps blew the compile time up ~5x, while a
+        # 1-step fori body paid ~10% runtime in loop overhead. Step
+        # application is idempotent for DONE lanes, so trip count is pure
+        # scheduling.
+        def two(_, c):
+            for _ in range(2):
+                c = _setup(c)
+                c = _march_and_book(c)
+                c = _ground(c)
+            return c
+
+        c = jax.lax.fori_loop(0, FLAT_UNROLL // 2, two, c)
+        return {**c, "round": c["round"] + 1}
+
+    zi = jnp.zeros((n,), _I32)
+    zf = jnp.zeros((n,), _F32)
+    init_mode = (
+        jnp.where(active, _I32(_M_SETUP), _I32(_M_DONE))
+        if max_steps > 0
+        else jnp.zeros((n,), _I32)
+    )
+    carry = {
+        "mode": init_mode,
+        "round": _I32(0),
+        "s": zi,
+        "dist": jnp.broadcast_to(opts.startDist, (n,)).astype(_F32),
+        # position of the last processed sphere round = ray_pos + dir *
+        # dist_prev (the nested path carries the position itself; carrying
+        # the scalar and recomputing with the identical expression is
+        # bit-equal and 3x smaller)
+        "dist_prev": zf,
+        "obj": zi,
+        "hit": jnp.zeros((n,), bool),
+        "q": V3(zi, zi, zi),
+        "gd": zf,
+        "k": zi,
+        "cap": zi,
+        "p0": V3(zf, zf, zf),
+    }
+    c = jax.lax.while_loop(cond, body, carry)
+    c["pos"] = ray_pos + ray_dir * c["dist_prev"]
+    return c

@@ -1,0 +1,105 @@
+"""On-hardware bit-equality invariant checker (VERDICT round-1 item 7).
+
+Asserts, on the REAL TPU chip, that every scheduling/acceleration
+optimization is output-EXACT (the CPU test suite can only check these with
+tolerance — XLA:CPU contracts FMAs context-dependently):
+
+  1. distance-field accel + flat raymarch engine on/off
+  2. screen-band scan tiling (tiles=1 vs auto)
+  3. Morton-sorted deferred shading on/off
+  4. host_slices=1 vs 4
+
+Emits ONE JSON line; run before each BENCH (results recorded in
+PERFORMANCE.md).
+
+Usage: python scripts/tpu_invariants.py [--size 128] [--vres 128] [--spp 2]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--vres", type=int, default=96)
+    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--mat", default="metal")  # exercises reflections
+    args = ap.parse_args()
+
+    from raymarchcl_tpu.api import build_accel_for, default_volume
+    from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+    from raymarchcl_tpu.ops.sampling import make_mc_tables
+    from raymarchcl_tpu.options import render_options
+
+    dev = jax.devices()[0]
+    volume_np, vres = default_volume((args.vres,) * 3)
+    vol = jnp.asarray(volume_np, jnp.uint8)
+    opts = render_options(
+        width=args.size, height=args.size, vres=list(vres), iter=args.spp,
+        mat=args.mat, eyepos=compute_eyepos(135.0, 2.25, 0.35),
+        targetpos=[0, -0.4, 0],
+    )
+    accel = build_accel_for(volume_np, opts)
+    tables = make_mc_tables(args.spp, seed=0)
+
+    results = {}
+    t0 = time.perf_counter()
+
+    def record(name, a, b):
+        eq = np.array_equal(np.asarray(a), np.asarray(b))
+        results[name] = bool(eq)
+        print(f"  {name}: {'OK' if eq else 'MISMATCH'}", file=sys.stderr, flush=True)
+
+    # reference rendering: accel + deferred + auto tiles + 1 slice
+    ref, ref_accum = render_mod.render_image(vol, opts, tables, accel=accel)
+
+    a, _ = render_mod.render_image(vol, opts, tables, accel=None)
+    record("accel_on_off", ref, a)
+
+    saved = render_mod.DEFERRED_SHADE
+    try:
+        render_mod.DEFERRED_SHADE = False
+        b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+        record("deferred_on_off", ref, b)
+    finally:
+        render_mod.DEFERRED_SHADE = saved
+
+    saved_tiles = render_mod.TILE_RAYS
+    try:
+        render_mod.TILE_RAYS = opts.num_pixels + 1  # forces tiles=1
+        c, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+        record("band_tiling_on_off", ref, c)
+    finally:
+        render_mod.TILE_RAYS = saved_tiles
+
+    d, _ = render_mod.render_image(vol, opts, tables, accel=accel, host_slices=4)
+    record("host_slices_1_vs_4", ref, d)
+
+    ok = all(results.values())
+    print(
+        json.dumps(
+            {
+                "invariants": results,
+                "ok": ok,
+                "device": str(dev),
+                "platform": dev.platform,
+                "config": f"{args.size}^2 {args.spp}spp {args.mat} vres{args.vres}",
+                "seconds": round(time.perf_counter() - t0, 1),
+            }
+        )
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

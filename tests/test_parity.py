@@ -27,11 +27,12 @@ def table():
     return np.asarray(sampling.generate_scatter_offsets(seed=3))
 
 
-def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.02):
+def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.01,
+                vres=(32, 32, 96), **extra_opts):
     opts = render_options(
-        width=w, height=h, vres=[32, 32, 96], iter=1, t=t, mat=mat,
+        width=w, height=h, vres=list(vres), iter=1, t=t, mat=mat,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
-        **budgets,
+        **budgets, **extra_opts,
     )
     n = w * h
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -63,6 +64,56 @@ def test_parity_metal_reflections(vol32, table):
     _run_parity(
         vol32, table, "metal", 8, 6, 0.333,
         dict(maxIter=48, maxVoxelIter=96, shadowIter=48),
+    )
+
+
+def test_parity_full_default_budgets(vol32, table):
+    """Whole pixels at the reference's UNREDUCED budgets
+    (maxIter=128, maxVoxelIter=192, shadowIter=128 — core.clj:54-61)."""
+    _run_parity(vol32, table, "ao", 16, 12, 0.0, {})
+
+
+def test_parity_metal2_terrain(table):
+    """Terrain volume (generators.clj:44-60) through whole pixels with the
+    metal2 preset (1 light, 1 bounce, materials.clj:44-58)."""
+    vol = generators.make_terrain({"vres": [32, 32, 32]})
+    _run_parity(
+        vol, table, "metal2", 10, 8, 0.333,
+        dict(maxIter=48, maxVoxelIter=96, shadowIter=48),
+        vres=(32, 32, 32),
+    )
+
+
+def test_parity_orange_stripes_voxelized_mesh(table):
+    """voxelize_ks mesh volume (meshvoxel.clj:45-58) through whole pixels
+    with the orange-stripes preset (3 lights, 2 bounces, materials.clj:3-21).
+    """
+    from raymarchcl_tpu.models import mesh
+
+    tris = np.array(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[0, 0, 0], [1, 0, 0], [0, 0, 1]],
+            [[0, 0, 0], [0, 1, 0], [0, 0, 1]],
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        ],
+        np.float32,
+    )
+    vol = mesh.voxelize_ks(tris.reshape(-1, 3), 32, 2)
+    _run_parity(
+        vol, table, "orange-stripes", 10, 8, 0.666,
+        dict(maxIter=48, maxVoxelIter=96, shadowIter=48),
+        vres=(32, 32, 32),
+    )
+
+
+def test_parity_dof(vol32, table):
+    """Depth of field: the mcNormal.zxy eye offset (renderer.cl:472-475) at
+    the BASELINE config-5 aperture."""
+    _run_parity(
+        vol32, table, "metal", 10, 8, 0.999,
+        dict(maxIter=48, maxVoxelIter=96, shadowIter=48),
+        dof=0.025,
     )
 
 
