@@ -57,6 +57,28 @@ _I32 = jnp.int32
 _F32 = jnp.float32
 
 
+def _carry_vma(tree, ref):
+    """Promote every leaf of a while_loop init carry to the varying manual
+    axes of `ref`.
+
+    Under jax.shard_map's varying-manual-axes analysis (check_vma=True),
+    carries initialized from constants (jnp.zeros etc.) are 'unvarying'
+    while the loop body's outputs — which depend on per-shard ray state —
+    are varying, and while_loop requires the two to match. pcast-ing the
+    constants to the reference's vma is a type-level change only (values
+    untouched). No-op outside shard_map (vma is empty) and on leaves that
+    already carry the axes."""
+    ref_vma = getattr(jax.typeof(ref), "vma", None)
+    if not ref_vma:
+        return tree
+
+    def fix(x):
+        missing = ref_vma - jax.typeof(x).vma
+        return jax.lax.pcast(x, tuple(missing), to="varying") if missing else x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def dist_union(d1, m1, d2, m2):
     """distUnion (reference: renderer.cl:146-148): pick the pair with the
     strictly smaller distance (ties -> second arg)."""
@@ -313,12 +335,15 @@ def march_volume(
             jnp.where(newly, k + first, hit_k),
         )
 
-    init = (
-        _I32(0),
-        active,
-        jnp.zeros((n,), _I32),
-        jnp.zeros((n,), bool),
-        jnp.zeros((n,), _I32),
+    init = _carry_vma(
+        (
+            _I32(0),
+            active,
+            jnp.zeros((n,), _I32),
+            jnp.zeros((n,), bool),
+            jnp.zeros((n,), _I32),
+        ),
+        p0.x,
     )
     _, _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
     return hit, hit_k
@@ -372,11 +397,14 @@ def _march_volume_dist(opts, accel, p0: V3, delta: V3, steps, active, max_k=None
             act, k, hit, hit_k = probe_step(act, k, hit, hit_k)
         return act, k, hit, hit_k
 
-    init = (
-        active & (cap > 0),
-        jnp.zeros((n,), _I32),
-        jnp.zeros((n,), bool),
-        jnp.zeros((n,), _I32),
+    init = _carry_vma(
+        (
+            active & (cap > 0),
+            jnp.zeros((n,), _I32),
+            jnp.zeros((n,), bool),
+            jnp.zeros((n,), _I32),
+        ),
+        p0.x,
     )
     _, _, hit, hit_k = jax.lax.while_loop(cond, body, init)
     return hit, hit_k
@@ -639,7 +667,7 @@ def _raymarch_nested(
             c = one_ground_step(fast0 & c["active"], c)
         return c
 
-    return jax.lax.while_loop(cond, body, carry)
+    return jax.lax.while_loop(cond, body, _carry_vma(carry, ray_pos.x))
 
 
 # Flat-engine lane modes. DONE must be 0 (cond tests mode != 0).
@@ -874,6 +902,6 @@ def _raymarch_flat(
         "cap": zi,
         "p0": V3(zf, zf, zf),
     }
-    c = jax.lax.while_loop(cond, body, carry)
+    c = jax.lax.while_loop(cond, body, _carry_vma(carry, ray_pos.x))
     c["pos"] = ray_pos + ray_dir * c["dist_prev"]
     return c

@@ -67,10 +67,10 @@ def _tiled_fn(mesh, opts, n_pad):
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(AXIS), P()),
             out_specs=(P(AXIS), P(AXIS)),
-            # the body is collective-free (tiles are embarrassingly
-            # parallel); skip the varying-manual-axes analysis, which
-            # rejects while_loop carries initialized from constants
-            check_vma=False,
+            # check_vma left ON (the default): while_loop carries in
+            # ops/march.py are pcast to the body's varying manual axes
+            # (march._carry_vma), so the analysis passes and keeps
+            # screening the body for real sharding errors.
         )
     )
     _TILED_CACHE[key] = fn
