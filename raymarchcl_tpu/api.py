@@ -76,10 +76,11 @@ def render_frame(
 
 
 def build_accel_for(volume, opts):
-    """Distance-field empty-space-skip structure (see ops/accel.py). Works
-    on dense-shell volumes (gyroid) and sparse mesh volumes alike: probes in
-    tight spots skip 0 and cost exactly one landing, free spans are crossed
-    in O(span/d) landings. Output is bit-identical with or without it."""
+    """Brick-table march accelerator (see ops/accel.py). Works on
+    dense-shell volumes (gyroid) and sparse mesh volumes alike: one row
+    gather stages an 8^3 brick answering several march samples, and
+    brick-level Chebyshev distances license provably safe skips across free
+    space. Output is bit-identical with or without it."""
     from .ops.accel import build_accel
 
     return build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)

@@ -48,10 +48,10 @@ MARCH_CHUNK = 16
 # line misses the voxel box (see raymarch docstring).
 GROUND_STEPS = 16
 
-# Distance-driven march probe steps unrolled per while_loop round (amortizes
-# round overhead; each probe is one (N,) gather plus vector math). 8 was the
-# sweep optimum on v5e (scripts/tune.py, 256^2 ao: 472 ms vs 516 at 4).
-DIST_UNROLL = 8
+# Brick-probe applications unrolled per while_loop round of the nested
+# march (amortizes round overhead; each application is one (N, 64) row
+# gather + BRICK_SUBSTEPS vectorized bit tests).
+DIST_UNROLL = 2
 
 _I32 = jnp.int32
 _F32 = jnp.float32
@@ -180,59 +180,83 @@ def voxel_normal_fast(vol, opts, q: V3) -> V3:
     return normalize(-n)
 
 
-def _occ5_words(words, opts, q: V3):
-    """(5, 5, 5, N) occupancy block around q from 2 word-gathers per (y, z)
-    row: rows are x-contiguous and word-aligned (rx % 4 == 0), so the 5
-    bytes [qx-2, qx+2] always live in 2 consecutive uint32 words; a 32-bit
-    funnel shift extracts them. 50 gathered elements/ray instead of 125;
-    values identical to the byte path (occupancy_i semantics incl. bounds).
-    Axis order matches the byte path: [dx, dy, dz, ray].
-    """
-    rx, ry, rz, rxy = opts.voxelRes
+def _occ5_bricks(accel, opts, q: V3):
+    """(5, 5, 5, N) occupancy block around q from 8 brick-bitplane row
+    gathers: the 2x2x2 brick block covering [q-2, q+2]^3 is staged (a row
+    gather costs ~1 element gather on this platform — ops/accel.py), then
+    all 125 occupancy bits are extracted with pure vector ops. Values
+    identical to the byte path (occupancy_i semantics incl. bounds: padded
+    and out-of-grid voxels read 0). Axis order: [dx, dy, dz, ray]."""
+    from .accel import brick_dims
+
+    nbx, nby, nbz = brick_dims(opts.voxelRes)
     n = q.x.shape[0]
-    x0 = q.x - 2  # (N,)
-    w0 = x0 >> 2  # floor((qx-2)/4) — arithmetic shift floors negatives
-    off = (x0 & 3).astype(jnp.uint32)  # byte offset of qx-2 in its word
-    dyz = jnp.arange(-2, 3, dtype=_I32)
-    y = q.y[None, :] + dyz[:, None]  # (5, N)
-    z = q.z[None, :] + dyz[:, None]
-    row_valid = ((y >= 0) & (y < ry))[None] & ((z >= 0) & (z < rz))[:, None]  # (5z,5y,N)
-    base = (z[:, None, :] * rxy + y[None, :, :] * rx) // 4 + w0[None, None, :]
-    nwords = rxy * rz // 4
-    base = jnp.clip(jnp.where(row_valid, base, 0), 0, nwords - 1)
-    widx = jnp.stack([base, jnp.minimum(base + 1, nwords - 1)], axis=0)  # (2,5z,5y,N)
-    wv = jnp.take(words, widx.reshape(2, -1), mode="clip").reshape(2, 5, 5, n)
-    w1, w2 = wv[0], wv[1]  # (5z, 5y, N) uint32
-    sh = off * jnp.uint32(8)
-    # 64-bit funnel shift in 32-bit ops: bytes [off, off+4] of (w2:w1)
-    lo = jnp.where(sh == 0, w1, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)))
-    hi = w2 >> sh
-    iso = jnp.uint32(opts.isoVal)
-    m = jnp.uint32(0xFF)
-    bts = [
-        lo & m, (lo >> jnp.uint32(8)) & m, (lo >> jnp.uint32(16)) & m,
-        (lo >> jnp.uint32(24)) & m, hi & m,
-    ]
-    xs = x0[None, None, :] + 0  # (1, 1, N) broadcast base
-    occ = []
-    for i, b in enumerate(bts):  # i = dx index 0..4
-        xv = (xs + i >= 0) & (xs + i < rx) & row_valid  # (5z, 5y, N)
-        occ.append(jnp.where(xv & (b >= iso), 1.0, 0.0).astype(_F32))
-    # stack dx first, then transpose (dx, dz, dy, N) -> [dx, dy, dz, ray]
-    return jnp.stack(occ, axis=0).transpose(0, 2, 1, 3)
+    x0, y0, z0 = q.x - 2, q.y - 2, q.z - 2
+    b0x, b0y, b0z = x0 >> 3, y0 >> 3, z0 >> 3  # arithmetic shift floors
+    u0x = (x0 & 7).astype(jnp.uint32)
+    u0y, u0z = y0 & 7, z0 & 7  # in [0, 7]
+
+    # stage the 8 neighbor brick bitplanes, zeroing out-of-grid bricks
+    planes = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                bx, by, bz = b0x + dx, b0y + dy, b0z + dz
+                vb = (
+                    (bx >= 0) & (bx < nbx)
+                    & (by >= 0) & (by < nby)
+                    & (bz >= 0) & (bz < nbz)
+                )
+                bid = jnp.where(vb, (bz * nby + by) * nbx + bx, 0)
+                g = jnp.take(accel.ge_rows, bid, axis=0, mode="clip")  # (N, 16)
+                planes.append(jnp.where(vb[:, None], g, jnp.uint32(0)))
+
+    iota16 = jnp.arange(16, dtype=_I32)[None, :]
+    occ = [[[None] * 5 for _ in range(5)] for _ in range(5)]  # [dx][dy][dz]
+    for k in range(5):  # dz offset
+        uz = u0z + k
+        sz = uz >> 3  # which z-brick (0/1)
+        lz = uz & 7
+        for j in range(5):  # dy offset
+            uy = u0y + j
+            sy = uy >> 3
+            ly = uy & 7
+            r = lz * 8 + ly  # x-row index within the brick
+            w = r >> 2  # word holding 4 x-rows
+            sh = ((r & 3) * 8).astype(jnp.uint32)
+            row16 = jnp.zeros((n,), jnp.uint32)
+            for dx in (0, 1):
+                pl = jnp.zeros((n, 16), jnp.uint32)
+                for a in (0, 1):
+                    for b in (0, 1):
+                        m = (sz == a) & (sy == b)
+                        pl = pl + jnp.where(
+                            m[:, None], planes[a * 4 + b * 2 + dx], jnp.uint32(0)
+                        )
+                word = jnp.sum(
+                    jnp.where(iota16 == w[:, None], pl, jnp.uint32(0)), axis=1
+                )
+                row8 = (word >> sh) & jnp.uint32(0xFF)
+                row16 = row16 | (row8 << jnp.uint32(8 * dx))
+            bits = row16 >> u0x  # bit i = occupancy at x = qx - 2 + i
+            for i in range(5):
+                occ[i][j][k] = ((bits >> jnp.uint32(i)) & 1).astype(_F32)
+    return jnp.stack(
+        [jnp.stack([jnp.stack(c, axis=0) for c in p], axis=0) for p in occ], axis=0
+    )
 
 
-def voxel_normal_smooth(vol, opts, q: V3, words=None) -> V3:
+def voxel_normal_smooth(vol, opts, q: V3, accel=None) -> V3:
     """Sum of gradient normals over the occupied 3x3x3 neighborhood,
     normalized (reference: renderer.cl:190-203).
 
-    One (125, N) occupancy gather (or the 2.5x cheaper (50, N) word-packed
-    gather when `words` is available); gradients by shifted slicing of the
-    (5, 5, 5, N) occupancy block.
+    One (125, N) occupancy gather, or 8 brick-row gathers + vector bit
+    extraction when the accel is available (_occ5_bricks); gradients by
+    shifted slicing of the (5, 5, 5, N) occupancy block.
     """
     n = q.x.shape[0]
-    if words is not None and opts.voxelRes[0] % 4 == 0:
-        occ = _occ5_words(words, opts, q)  # [dx, dy, dz, ray]
+    if accel is not None:
+        occ = _occ5_bricks(accel, opts, q)  # [dx, dy, dz, ray]
     else:
         qq = V3(
             q.x[None, :] + jnp.asarray(_OX5)[:, None],
@@ -271,11 +295,12 @@ def march_volume(
       batched occupancy gather, argmax first-hit/first-exit resolution.
       Early-exits when every ray stopped. Evaluates every fixed-step sample
       like the reference.
-    * accel=ops.accel.Accel: distance-driven. Each landing gathers the
-      Chebyshev distance field instead of the volume: d==0 IS the stopping
-      test, d>0 licenses skipping floor((d-slack)*inv_vps) samples that are
-      provably in-bounds and below iso (see ops/accel.py). Gathered elements
-      = landings, not samples.
+    * accel=ops.accel.Accel: brick-driven. Each landing gathers its 8^3
+      brick ROW (one row gather ~ one element gather on this platform);
+      staged STOP bits answer up to BRICK_SUBSTEPS consecutive samples with
+      vector ops, and the brick-level Chebyshev distance licenses provably
+      safe multi-sample skips across free space (see ops/accel.py and
+      _brick_probe). Gathered rows = brick crossings, not samples.
 
     `max_k` truncates the EVALUATED portion of the budget without changing
     the step length (delta still derives from `steps`): samples k >= max_k
@@ -285,7 +310,7 @@ def march_volume(
     raymarch's shadow truncation).
     """
     if accel is not None:
-        return _march_volume_dist(
+        return _march_volume_brick(
             opts, accel, p0, delta, steps, active, max_k=max_k, max_k_dyn=max_k_dyn
         )
     if chunk is None:
@@ -349,20 +374,118 @@ def march_volume(
     return hit, hit_k
 
 
-def _march_volume_dist(opts, accel, p0: V3, delta: V3, steps, active, max_k=None, max_k_dyn=None):
-    """Distance-driven fixed-step march (see march_volume). Per probe step:
-    one (N,) gather of the Chebyshev distance field at the current sample;
-    stop on out-of-bounds (break) or d==0 (hit, since d counts exactly the
-    {v > isoVal} U {outside} set); otherwise advance 1 + provable skip.
+def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
+    """One brick application of the fixed-step march (see ops/accel.py).
 
-    Exactness: every skipped sample index lies strictly within the gathered
-    distance of the probe voxel (incl. trunc + f32 slack, ops/accel.py), so
-    it is provably in-bounds and not a hit — the first stopping landing is
-    the reference march's first stopping sample. Rays whose step budget is
-    exhausted (k reaches the cap before any stop) report hit=False exactly
-    like the plain path.
+    Gathers the landing sample's brick row (ONE row gather — the march's
+    only memory access), then resolves the lane with pure vector ops:
+
+    * landing out-of-bounds -> break (ends, no hit);
+    * brick distance D >= 2 -> the landing is provably not a hit and the
+      next floor((8D-7-SKIP_SLACK)*inv_vps) samples are provably safe:
+      advance 1 + skip without testing (exactness: ops/accel.py);
+    * otherwise up to BRICK_SUBSTEPS consecutive samples are tested against
+      the staged STOP bitplane: first set bit -> hit, out-of-bounds -> break,
+      leaving the brick or exhausting the unroll -> continue next
+      application from that sample.
+
+    Per-sample semantics are EXACTLY the plain march's (every tested or
+    skipped sample is accounted for in order; budget-exhausted lanes end
+    with hit=False and hit_k untouched). Caller invariant: active lanes
+    have k < cap.
+
+    Returns dict:
+      ended  — lane finished with a stop (hit or break) at k_end
+      hit    — stop was a hit (subset of ended)
+      k_end  — stopping sample index (valid where ended)
+      code   — 2-bit material band at the hit voxel (valid where hit)
+      dead   — lane finished by budget exhaustion (no stop recorded)
+      cont   — lane continues next application at k_next (< cap)
+      k_next — next landing for cont lanes
     """
-    from .accel import SKIP_SLACK, skips_per_distance
+    from .accel import BRICK_SUBSTEPS, CODE_W0, DIST_W, SKIP_SLACK, STOP_W0, brick_dims
+
+    nbx, nby, _ = brick_dims(opts.voxelRes)
+    n = k.shape[0]
+    kf = k.astype(_F32)
+    p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
+    q = voxel_coord(opts, p)
+    valid, _ = _bounds_and_index(opts, q)
+    bx, by, bz = q.x >> 3, q.y >> 3, q.z >> 3
+    bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
+    rows = jnp.take(accel.rows, bid, axis=0, mode="clip")  # (N, 64) u32
+
+    d_equiv = 8.0 * rows[:, DIST_W].astype(_F32) - 7.0
+    # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
+    # degenerate rays; 2^30 steps is "past any budget" either way)
+    skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
+
+    stopw = rows[:, STOP_W0:CODE_W0]  # (N, 16)
+    iota16 = jnp.arange(16, dtype=_I32)[None, :]
+
+    brk = act & ~valid  # landing itself out of grid
+    hit = jnp.zeros((n,), bool)
+    dead = jnp.zeros((n,), bool)
+    k_end = jnp.where(brk, k, 0)
+    l_hit = jnp.zeros((n,), _I32)
+    k_exit = k
+    pend = act & valid & (skip == 0)
+    for i in range(BRICK_SUBSTEPS):
+        ki = k + i
+        kfi = ki.astype(_F32)
+        pi = V3(p0.x + delta.x * kfi, p0.y + delta.y * kfi, p0.z + delta.z * kfi)
+        qi = voxel_coord(opts, pi)
+        vi, _ = _bounds_and_index(opts, qi)
+        in_b = ki < cap
+        same = vi & ((qi.x >> 3) == bx) & ((qi.y >> 3) == by) & ((qi.z >> 3) == bz)
+        li = ((qi.z & 7) * 8 + (qi.y & 7)) * 8 + (qi.x & 7)
+        word = jnp.sum(
+            jnp.where(iota16 == (li >> 5)[:, None], stopw, jnp.uint32(0)), axis=1
+        )
+        bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
+        ev_dead = pend & ~in_b
+        ev_brk = pend & in_b & ~vi
+        ev_hit = pend & in_b & vi & same & bit
+        ev_exit = pend & in_b & vi & ~same
+        hit = hit | ev_hit
+        brk = brk | ev_brk
+        dead = dead | ev_dead
+        k_end = jnp.where(ev_hit | ev_brk, ki, k_end)
+        l_hit = jnp.where(ev_hit, li, l_hit)
+        k_exit = jnp.where(ev_exit, ki, k_exit)
+        pend = pend & in_b & vi & same & ~bit
+    k_exit = jnp.where(pend, k + BRICK_SUBSTEPS, k_exit)  # unroll out: re-gather
+
+    # material band code at the hit voxel, from the staged CODE plane
+    codew = rows[:, CODE_W0:DIST_W]  # (N, 32)
+    iota32 = jnp.arange(32, dtype=_I32)[None, :]
+    cword = jnp.sum(
+        jnp.where(iota32 == (l_hit >> 4)[:, None], codew, jnp.uint32(0)), axis=1
+    )
+    code = ((cword >> (2 * (l_hit & 15)).astype(jnp.uint32)) & 3).astype(_I32)
+
+    ended = hit | brk
+    k_next = jnp.where(act & valid & (skip > 0), k + 1 + skip, k_exit)
+    cont = act & valid & ~ended & ~dead
+    dead = dead | (cont & (k_next >= cap))
+    cont = cont & (k_next < cap)
+    return {
+        "ended": ended,
+        "hit": hit,
+        "k_end": k_end,
+        "code": code,
+        "dead": dead,
+        "cont": cont,
+        "k_next": k_next,
+    }
+
+
+def _march_volume_brick(opts, accel, p0: V3, delta: V3, steps, active, max_k=None, max_k_dyn=None):
+    """Brick-driven fixed-step march (see march_volume + _brick_probe):
+    gathered rows per ray are proportional to brick crossings + landings
+    near geometry, not to fixed-step samples. Budget-exhausted rays report
+    hit=False exactly like the plain path."""
+    from .accel import skips_per_distance
 
     eff = steps if max_k is None else min(steps, max_k)
     n = p0.x.shape[0]
@@ -372,21 +495,10 @@ def _march_volume_dist(opts, accel, p0: V3, delta: V3, steps, active, max_k=None
         cap = jnp.minimum(cap, max_k_dyn)
 
     def probe_step(act, k, hit, hit_k):
-        kf = k.astype(_F32)
-        p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
-        q = voxel_coord(opts, p)
-        valid, idx = _bounds_and_index(opts, q)
-        d = jnp.take(accel.packed, idx, mode="clip") & jnp.uint16(0xFF)  # (N,)
-        stop_hit = valid & (d == 0)
-        newly = act & (~valid | stop_hit)
-        hit = jnp.where(newly, stop_hit, hit)
-        hit_k = jnp.where(newly, k, hit_k)
-        # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
-        # degenerate rays; 2^30 steps is "past any budget" either way)
-        skip = jnp.clip((d.astype(_F32) - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
-        k_next = k + 1 + skip
-        act = act & ~newly & (k_next < cap)
-        return act, k_next, hit, hit_k
+        ev = _brick_probe(opts, accel, p0, delta, k, act, cap, inv_vps)
+        hit = jnp.where(ev["ended"], ev["hit"], hit)
+        hit_k = jnp.where(ev["ended"], ev["k_end"], hit_k)
+        return ev["cont"], ev["k_next"], hit, hit_k
 
     def cond(c):
         return jnp.any(c[0])
@@ -464,14 +576,14 @@ def _np3(x):
     return tuple(float(v) for v in x)
 
 
-def isec_normal(vol, opts, hit, q, gd, rdir: V3, smooth, words=None):
+def isec_normal(vol, opts, hit, q, gd, rdir: V3, smooth, accel=None):
     """Deferred normal for a distance_to_scene / raymarch result
     (reference: renderer.cl:212 ground/backstop, :225-229 voxel gradient)."""
     ground_n = where3(
         gd < 1e5, V3.const((0.0, 1.0, 0.0), like=rdir), -rdir
     )
     if smooth:
-        vn = voxel_normal_smooth(vol, opts, q, words=words)
+        vn = voxel_normal_smooth(vol, opts, q, accel=accel)
     else:
         vn = voxel_normal_fast(vol, opts, q)
     return where3(hit, vn, ground_n)
@@ -555,7 +667,7 @@ def raymarch(
     if want_normal:
         isec["normal"] = isec_normal(
             vol, opts, c["hit"] & ~miss, c["q"], c["gd"], ray_dir, smooth,
-            words=accel.words if accel is not None else None,
+            accel=accel,
         )
     if want_stats:  # scheduling diagnostics (scripts/profile_stages.py)
         isec["rounds"] = c["round"]  # while rounds paid (band worst-ray)
@@ -689,11 +801,11 @@ def _raymarch_flat(
 
       SETUP  -> sphere-round prologue: ground distance, box test, march
                 setup (p0/k/cap); branches to MARCH, GROUND or BOOK.
-      MARCH  -> one distance-driven probe per application: a single u16
-                gather of accel.packed yields the Chebyshev distance (low
-                byte: 0 == this sample stops the march) AND the voxel value
-                (high byte: the material input) — no second fetch. Non-stop
-                probes advance k by 1 + the provable skip (ops/accel.py).
+      MARCH  -> one brick application (_brick_probe): a single (64,) row
+                gather stages the landing's 8^3 brick — STOP bits resolve up
+                to BRICK_SUBSTEPS samples, the CODE plane supplies the hit
+                material (no second fetch), and the brick-level distance
+                licenses provable multi-sample skips (ops/accel.py).
                 On stop/budget-exhaustion, sphere bookkeeping runs in the
                 same application and the lane returns to SETUP (or DONE).
       GROUND -> FLAT_GROUND_STEPS exact ground-only sphere steps per
@@ -702,11 +814,11 @@ def _raymarch_flat(
                 (box ahead but ground closer, or a zero march budget).
 
     Per-ray operation sequences (and so all float values) are identical to
-    _raymarch_nested + the distance march; only lane scheduling differs —
+    _raymarch_nested + the brick march; only lane scheduling differs —
     a lane never waits for the band's slowest inner march. Bit-equal
     (tests/test_accel.py).
     """
-    from .accel import SKIP_SLACK, skips_per_distance
+    from .accel import skips_per_distance
 
     n = ray_pos.x.shape[0]
     bmin = _np3(opts.voxelBoundsMin)
@@ -775,24 +887,20 @@ def _raymarch_flat(
 
     def _march_and_book(c):
         in_march = c["mode"] == _M_MARCH
-        kf = c["k"].astype(_F32)
+        ev = _brick_probe(
+            opts, accel, c["p0"], delta, c["k"], in_march, c["cap"], inv_vps
+        )
+        march_end = in_march & ~ev["cont"]  # stop (hit/break) or budget out
+        m_hit = ev["hit"]
+
+        # stop-sample position/voxel (same f32 expression as the probe's)
+        kf = ev["k_end"].astype(_F32)
         p = V3(
             c["p0"].x + delta.x * kf,
             c["p0"].y + delta.y * kf,
             c["p0"].z + delta.z * kf,
         )
         qc = voxel_coord(opts, p)
-        valid, idx = _bounds_and_index(opts, qc)
-        pk = jnp.take(accel.packed, idx, mode="clip")  # (N,) uint16
-        d8 = (pk & jnp.uint16(0xFF)).astype(_F32)
-        v = (pk >> jnp.uint16(8)).astype(_I32)  # voxel value at the sample
-        stop_hit = valid & (d8 == 0.0)
-        stop = in_march & (~valid | stop_hit)
-        skip = jnp.clip((d8 - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
-        k_next = c["k"] + 1 + skip
-        budget_out = in_march & ~stop & (k_next >= c["cap"])
-        march_end = stop | budget_out
-        m_hit = stop_hit & in_march  # budget_out implies ~stop_hit
 
         # scene-distance resolution + sphere bookkeeping for lanes whose
         # march just ended and for BOOK lanes (ground-term-only rounds)
@@ -801,7 +909,8 @@ def _raymarch_flat(
         gd, res_d, res_m = _ground_res(pos)
         world = V3(p.x * vb2[0] - vb[0], p.y * vb2[1] - vb[1], p.z * vb2[2] - vb[2])
         vdist = norm(pos - world) - opts.voxelSize
-        vmat = voxel_material(v)
+        # the CODE plane at a hit voxel IS voxelMaterial(v) (ops/accel.py)
+        vmat = ev["code"].astype(_F32)
         hd, hm = dist_union(vdist, vmat, res_d, res_m)
         sd_d = jnp.where(m_hit, hd, res_d)
         sd_m = jnp.where(m_hit, hm, res_m)
@@ -824,7 +933,7 @@ def _raymarch_flat(
                 jnp.where(be, qc.z, c["q"].z),
             ),
             "gd": jnp.where(be, gd, c["gd"]),
-            "k": jnp.where(in_march & ~march_end, k_next, c["k"]),
+            "k": jnp.where(ev["cont"], ev["k_next"], c["k"]),
         }
 
     def _ground(c):

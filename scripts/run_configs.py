@@ -63,14 +63,15 @@ def main():
     gy256, _ = default_volume((256,) * 3)
     cam = dict(eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0])
 
-    # config-3 stand-in mesh (no STL assets distributed): icosphere points
-    th = np.linspace(0.2, np.pi - 0.2, 24)
-    ph = np.linspace(0, 2 * np.pi, 48)
-    T, P = np.meshgrid(th, ph)
-    pts = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)], -1)
-    bunny64 = mesh.voxelize_ks(pts.reshape(-1, 3).astype(np.float32), 64, 1)
-    # config-4 stand-in "dragon": scatter-voxelized knot (streaky volume)
-    dragon = mesh.voxelize_scatter(pts.reshape(-1, 3).astype(np.float32), 128, seed=3)
+    # configs 3/4 run the committed organic mesh asset (18k vertices,
+    # scripts/make_mesh_asset.py) through the real STL -> voxelize path,
+    # mirroring the reference's bunny/dragon workflow (meshvoxel.clj:25-69)
+    import os
+
+    stl = os.path.join(os.path.dirname(__file__), "..", "assets", "trefoil.stl")
+    verts = mesh.read_stl(stl)
+    bunny64 = mesh.voxelize_ks(verts, 64, 1)
+    dragon = mesh.voxelize_scatter(verts, 128, seed=3)
 
     configs = [
         ("1: gyroid 224^2 1spp primary/flat-ish (ao)",

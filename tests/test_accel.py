@@ -56,52 +56,101 @@ def scene():
     return jnp.asarray(vol_np), vol_np, opts, acc
 
 
-def _brute_chebyshev(vol_np, res, iso):
-    """O(N*M) reference distance field for tiny volumes."""
-    rx, ry, rz = res
-    v = vol_np.reshape(rz, ry, rx)
-    occ = np.argwhere(v > iso)  # (M, 3) in (z, y, x)
-    out = np.empty((rz, ry, rx), np.int64)
-    for z in range(rz):
-        for y in range(ry):
-            for x in range(rx):
-                db = min(z + 1, rz - z, y + 1, ry - y, x + 1, rx - x)
+def _brute_chebyshev_mask(stop_3d):
+    """O(N*M) reference Chebyshev distance to {mask} U {outside}."""
+    zz, yy, xx = stop_3d.shape
+    occ = np.argwhere(stop_3d)  # (M, 3) in (z, y, x)
+    out = np.empty((zz, yy, xx), np.int64)
+    for z in range(zz):
+        for y in range(yy):
+            for x in range(xx):
+                db = min(z + 1, zz - z, y + 1, yy - y, x + 1, xx - x)
                 if len(occ):
                     d = np.abs(occ - np.array([z, y, x])).max(axis=1).min()
                     db = min(db, d)
                 out[z, y, x] = db
-    return out.reshape(-1)
+    return out
 
 
-def test_distance_field_exact_vs_bruteforce():
+def _unbrickify(flat, res):
+    """(NB, 512) per-brick locals L=(lz*8+ly)*8+lx -> padded (Z, Y, X)."""
+    nbx, nby, nbz = accel_mod.brick_dims(res)
+    return (
+        flat.reshape(nbz, nby, nbx, 8, 8, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(nbz * 8, nby * 8, nbx * 8)
+    )
+
+
+def _unpack_rows(acc, res):
+    """Brick rows -> (stop (Z,Y,X) bool, code (Z,Y,X) u8, D (BZ,BY,BX) u32),
+    padded to brick multiples."""
+    rows = np.asarray(acc.rows)
+    nbx, nby, nbz = accel_mod.brick_dims(res)
+    bits = np.unpackbits(
+        np.ascontiguousarray(rows[:, :16]).view("<u1"), axis=1, bitorder="little"
+    ).astype(bool)
+    shifts = 2 * np.arange(16, dtype=np.uint32)
+    codes = ((rows[:, 16:48, None] >> shifts) & 3).reshape(-1, 512).astype(np.uint8)
+    d = rows[:, accel_mod.DIST_W].reshape(nbz, nby, nbx)
+    return _unbrickify(bits, res), _unbrickify(codes, res), d
+
+
+def test_chebyshev_exact_vs_bruteforce():
     rng = np.random.default_rng(7)
-    vol_np = (rng.random(6 * 7 * 8) < 0.04).astype(np.uint8) * 200
-    res = (8, 7, 6)  # (rx, ry, rz)
-    d = accel_mod.chebyshev_distance_field(vol_np, res, iso_val=32)
-    ref = np.minimum(_brute_chebyshev(vol_np, res, 32), 255)
-    np.testing.assert_array_equal(d.astype(np.int64), ref)
+    mask = rng.random((6, 7, 8)) < 0.04
+    d = accel_mod.chebyshev_from_mask(mask)
+    np.testing.assert_array_equal(
+        d.astype(np.int64), np.minimum(_brute_chebyshev_mask(mask), 255)
+    )
 
 
-def test_distance_field_zero_exactly_at_hits(scene):
-    _, vol_np, opts, acc = scene
-    d = np.asarray(acc.packed) & 0xFF
-    np.testing.assert_array_equal(d == 0, vol_np > opts.isoVal)
-    np.testing.assert_array_equal(np.asarray(acc.packed) >> 8, vol_np)
-
-
-def test_distance_field_bounded_by_boundary(scene):
-    """No voxel's distance may exceed its distance to the grid boundary —
-    the march must never skip past its first out-of-bounds exit."""
+def test_brick_planes_exact(scene):
+    """STOP bits == {v > iso} (pad voxels set), CODE == material band for
+    v >= iso else 0, D == brick-level Chebyshev distance."""
     _, vol_np, opts, acc = scene
     rx, ry, rz, _ = opts.voxelRes
-    d = (np.asarray(acc.packed) & 0xFF).reshape(rz, ry, rx)
+    v = vol_np.reshape(rz, ry, rx)
+    stop, code, d = _unpack_rows(acc, opts.voxelRes)
+    np.testing.assert_array_equal(stop[:rz, :ry, :rx], v > opts.isoVal)
+    assert stop[rz:].all() and stop[:, ry:].all() and stop[:, :, rx:].all()
+    band = np.where(v < 84, 1, np.where(v < 168, 2, 3))
+    np.testing.assert_array_equal(
+        code[:rz, :ry, :rx], np.where(v >= opts.isoVal, band, 0)
+    )
+    nbx, nby, nbz = accel_mod.brick_dims(opts.voxelRes)
+    brick_stop = stop.reshape(nbz, 8, nby, 8, nbx, 8).any(axis=(1, 3, 5))
+    np.testing.assert_array_equal(
+        d.astype(np.int64), np.minimum(_brute_chebyshev_mask(brick_stop), 255)
+    )
+
+
+def test_brick_distance_bounded_by_boundary(scene):
+    """No brick's distance may exceed its distance to the brick-grid
+    boundary — the march must never skip past its first out-of-bounds
+    exit."""
+    _, vol_np, opts, acc = scene
+    nbx, nby, nbz = accel_mod.brick_dims(opts.voxelRes)
+    d = np.asarray(acc.rows)[:, accel_mod.DIST_W].reshape(nbz, nby, nbx)
     z, y, x = np.meshgrid(
-        np.arange(rz), np.arange(ry), np.arange(rx), indexing="ij"
+        np.arange(nbz), np.arange(nby), np.arange(nbx), indexing="ij"
     )
-    db = np.minimum.reduce(
-        [z + 1, rz - z, y + 1, ry - y, x + 1, rx - x]
-    )
+    db = np.minimum.reduce([z + 1, nbz - z, y + 1, nby - y, x + 1, nbx - x])
     assert (d <= db).all()
+
+
+def test_brick_planes_non_multiple_res():
+    """Non-brick-multiple resolutions: pad voxels are STOP (so skips can
+    never cross the boundary) and code 0."""
+    rng = np.random.default_rng(3)
+    res = (12, 9, 21)  # (rx, ry, rz)
+    vol_np = (rng.random(res[2] * res[1] * res[0]) * 255).astype(np.uint8)
+    acc = accel_mod.build_accel(vol_np, res, 32)
+    stop, code, _ = _unpack_rows(acc, res)
+    v = vol_np.reshape(res[2], res[1], res[0])
+    np.testing.assert_array_equal(stop[: res[2], : res[1], : res[0]], v > 32)
+    assert stop[res[2]:].all() and stop[:, res[1]:].all() and stop[:, :, res[0]:].all()
+    assert (code[res[2]:] == 0).all()
 
 
 def test_raymarch_bit_equal(scene):
@@ -216,8 +265,8 @@ def test_empty_volume_all_skippable():
     vol_np = np.zeros(32**3, np.uint8)
     opts = render_options(width=8, height=8, vres=32, iter=1, maxVoxelIter=64)
     acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
-    d = (np.asarray(acc.packed) & 0xFF).reshape(32, 32, 32)
-    assert d[16, 16, 16] == 16  # center: distance to boundary only
+    d = np.asarray(acc.rows)[:, accel_mod.DIST_W].reshape(4, 4, 4)
+    assert d[2, 2, 2] == 2  # center brick: distance to boundary only
     vol = jnp.asarray(vol_np)
     tables = make_mc_tables(1, seed=0)
     a, _ = render_mod.render_image(vol, opts, tables)
@@ -231,7 +280,7 @@ def test_dense_volume_render_bit_equal():
     vol_np = np.full(16**3, 255, np.uint8)
     opts = render_options(width=8, height=8, vres=16, iter=1, maxVoxelIter=32)
     acc = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
-    assert (np.asarray(acc.packed) & 0xFF).max() == 0
+    assert np.asarray(acc.rows)[:, accel_mod.DIST_W].max() == 0
     vol = jnp.asarray(vol_np)
     tables = make_mc_tables(1, seed=3)
     a, _ = render_mod.render_image(vol, opts, tables)
@@ -239,11 +288,10 @@ def test_dense_volume_render_bit_equal():
     assert_renders_match(b, a)
 
 
-def test_word_packed_smooth_normal_bit_equal(scene):
-    """The 2-words-per-row occupancy block must reproduce the byte-gather
+def test_brick_smooth_normal_bit_equal(scene):
+    """The brick-staged occupancy block must reproduce the byte-gather
     smooth normal exactly, including all boundary truncations."""
     vol, _, opts, acc = scene
-    assert acc.words is not None
     rng = np.random.default_rng(3)
     rx, ry, rz, _ = opts.voxelRes
     # interior, boundary-straddling, and fully-out coords
@@ -253,5 +301,5 @@ def test_word_packed_smooth_normal_bit_equal(scene):
     ]).astype(np.int32)
     q = V3(jnp.asarray(qs[:, 0]), jnp.asarray(qs[:, 1]), jnp.asarray(qs[:, 2]))
     a = march.voxel_normal_smooth(vol, opts, q)
-    b = march.voxel_normal_smooth(vol, opts, q, words=acc.words)
+    b = march.voxel_normal_smooth(vol, opts, q, accel=acc)
     np.testing.assert_array_equal(np.asarray(a.to_array()), np.asarray(b.to_array()))

@@ -99,3 +99,39 @@ def test_heatmap_columns():
     assert vox[2, 0, 3] == 255 and vox[2, 4, 3] == 255 and vox[2, 5, 3] == 0  # h=5
     assert vox[5, 0, 6] == 255 and vox[5, 1, 6] == 255 and vox[5, 2, 6] == 0  # h=2
     assert vox.sum() == (5 + 2) * 255
+
+
+def test_committed_asset_voxelize_render():
+    """The committed kilovertex organic asset (assets/trefoil.stl,
+    scripts/make_mesh_asset.py) through the full STL -> voxelize -> render
+    path — the reference's flagship workflow (meshvoxel.clj:25-69,
+    README.org:49-56)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from raymarchcl_tpu.api import build_accel_for
+    from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+    from raymarchcl_tpu.ops.sampling import make_mc_tables
+    from raymarchcl_tpu.options import render_options
+
+    stl = os.path.join(os.path.dirname(__file__), "..", "assets", "trefoil.stl")
+    v = mesh.read_stl(stl)
+    assert v.shape[0] >= 10_000  # kilovertex-scale, per the round-1 review
+    vol_np = mesh.voxelize_ks(v, 64, 1)
+    occ = (vol_np > 0).mean()
+    assert 0.01 < occ < 0.5, f"implausible occupancy {occ}"
+    opts = render_options(
+        width=48, height=32, vres=64, iter=1, mat="metal",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(120.0, 2.0, 0.5), targetpos=[0, 0, 0],
+    )
+    acc = build_accel_for(vol_np, opts)
+    tables = make_mc_tables(1, seed=2)
+    argb, _ = render_mod.render_image(jnp.asarray(vol_np), opts, tables, accel=acc)
+    # the knot must actually be visible: some non-sky, non-ground pixels hit
+    # voxels (material slots 1-3 shade differently from the sky gradient)
+    a = np.asarray(argb)
+    assert a.shape == (32, 48)
+    assert len(np.unique(a)) > 64, "render is implausibly flat"
