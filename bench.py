@@ -10,7 +10,7 @@ calls from a cache, so every rep perturbs the per-pass time vector by an
 invisible epsilon; results are fetched to host to guarantee completion.
 
 Env overrides: BENCH_SIZE (default 512), BENCH_SPP (16), BENCH_VRES (256),
-BENCH_MAT (ao), BENCH_REPS (1), BENCH_ACCEL (1), BENCH_HOST_CHUNK (4).
+BENCH_MAT (ao), BENCH_REPS (1), BENCH_ACCEL (1), BENCH_HOST_CHUNK (16).
 """
 
 from __future__ import annotations
@@ -45,11 +45,13 @@ def run(size, spp, vres, mat, reps, use_accel):
     accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
 
     fn = render_mod._render_jit
-    # The spp passes are split into host-level chunks: very large
-    # single-program configs (512^2 x 16 spp in one scan) crash the hosted
-    # TPU worker. Results are identical (the pass scan is associative over
-    # the carried accumulation buffer).
-    chunk = int(os.environ.get("BENCH_HOST_CHUNK", 4))
+    # Host-level pass chunking is available for resilience but defaults to
+    # one program: the round-1 worker crash at 512^2 x 16 spp is gone with
+    # the flat/brick engine (temp arena 146 MB at 1024^2 — see
+    # PERFORMANCE.md). One program also lets every pass after the first use
+    # cost-sorted bands. Chunked results are identical (the pass scan is
+    # associative over the carried accumulation buffer).
+    chunk = int(os.environ.get("BENCH_HOST_CHUNK", 16))
 
     def frame(eps):
         accum = accum0

@@ -67,7 +67,8 @@ def load_accum(path, opts=None):
 
 
 def render_checkpointed(
-    vol, opts, mc_tables, ckpt_path, chunk=8, times=None, progress=None
+    vol, opts, mc_tables, ckpt_path, chunk=8, times=None, progress=None,
+    accel=None,
 ):
     """Render all spp passes in chunks, checkpointing after each chunk and
     resuming from ckpt_path if it exists. Returns (argb (H,W), accum).
@@ -102,7 +103,8 @@ def render_checkpointed(
     for c0 in range(start, n_passes, chunk):
         c1 = min(c0 + chunk, n_passes)
         argb, accum = render_mod.render_image(
-            vol, opts, mc_tables[c0:c1], times=times[c0:c1], accum=accum
+            vol, opts, mc_tables[c0:c1], times=times[c0:c1], accum=accum,
+            accel=accel,
         )
         save_accum(ckpt_path, accum, opts, c1, digest=digest)
         if progress:

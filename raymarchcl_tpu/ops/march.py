@@ -672,6 +672,7 @@ def raymarch(
     if want_stats:  # scheduling diagnostics (scripts/profile_stages.py)
         isec["rounds"] = c["round"]  # while rounds paid (band worst-ray)
         isec["steps"] = c["s"]  # per-ray sphere steps consumed (useful work)
+        isec["apps"] = c.get("apps", c["s"])  # per-lane applications (flat)
     return isec
 
 
@@ -978,6 +979,7 @@ def _raymarch_flat(
         # scheduling.
         def two(_, c):
             for _ in range(2):
+                c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
                 c = _setup(c)
                 c = _march_and_book(c)
                 c = _ground(c)
@@ -996,6 +998,7 @@ def _raymarch_flat(
     carry = {
         "mode": init_mode,
         "round": _I32(0),
+        "apps": zi,  # per-lane state-machine applications consumed
         "s": zi,
         "dist": jnp.broadcast_to(opts.startDist, (n,)).astype(_F32),
         # position of the last processed sphere round = ray_pos + dir *

@@ -67,15 +67,21 @@ def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist,
     return col
 
 
-def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None):
+def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None,
+           want_stats=False):
     """Hard shadow: full re-raymarch toward the light, 0/1 result
-    (reference: renderer.cl:292-301). Skips normal computation entirely."""
+    (reference: renderer.cl:292-301). Skips normal computation entirely.
+    want_stats additionally returns per-ray march applications (cost input
+    for the cost-sorted shade bands, ops/render.py)."""
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False, accel=accel,
-        truncate_to_max_dist=True,
+        truncate_to_max_dist=True, want_stats=want_stats,
     )
-    return (isec["distance"] >= light_max_dist).astype(_F32)
+    sf = (isec["distance"] >= light_max_dist).astype(_F32)
+    if want_stats:
+        return sf, isec["apps"]
+    return sf
 
 
 def schlick(r0, smoothness, normal: V3, view: V3):
@@ -157,13 +163,15 @@ def _mat_gather(opts, mat_idx):
 
 def object_lighting(
     vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
-    reflect_col: V3, active, accel=None,
+    reflect_col: V3, active, accel=None, want_stats=False,
 ):
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
     mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
+    want_stats: also return summed shadow-march applications (cost signal).
     """
     albedo, r0, smoothness = _mat_gather(opts, mat_idx)
+    apps = jnp.zeros_like(mat_idx)
 
     ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     diff = sky_gradient(opts, normal) * ao
@@ -180,8 +188,11 @@ def object_lighting(
         lmax = jnp.minimum(jnp.sqrt(d2) - opts.shadowBias, opts.maxDist)
         sf = shadow(
             vol, opts, isec_pos + ldir * opts.shadowBias, ldir, lmax,
-            active & in_range, accel,
+            active & in_range, accel, want_stats=want_stats,
         )
+        if want_stats:
+            sf, sh_apps = sf
+            apps = apps + sh_apps
         lit = in_range & (sf > 0.0)
         gain = jnp.where(lit, sf * att, 0.0)
         lc = opts.lightColor
@@ -195,16 +206,21 @@ def object_lighting(
         )
         diff = diff * albedo  # QUIRK: per-light albedo (renderer.cl:376)
         final = final + mix(diff, spec, fresnel)
-    return final * (1.0 / _F32(opts.numLights))
+    out = final * (1.0 / _F32(opts.numLights))
+    if want_stats:
+        return out, apps
+    return out
 
 
-def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, active, accel=None):
+def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3,
+                      active, accel=None, want_stats=False):
     """One-bounce scene color for reflection rays
     (reference: renderer.cl:383-405): fast-normal raymarch, lighting with a
-    sky reflection, atmosphere. Returns (color V3, isec)."""
+    sky reflection, atmosphere. Returns (color V3, isec[, apps])."""
     isec = raymarch(
         vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
         smooth=False, active=active, want_normal=True, accel=accel,
+        want_stats=want_stats,
     )
     sky = sky_gradient(opts, ray_dir)
     hit = isec["object_id"] >= 0
@@ -212,12 +228,16 @@ def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3, acti
     refl_sky = sky_gradient(opts, reflect(ray_dir, isec["normal"]))
     lit = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
-        isec["normal"], refl_sky, active & hit, accel,
+        isec["normal"], refl_sky, active & hit, accel, want_stats=want_stats,
     )
+    if want_stats:
+        lit, l_apps = lit
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
         opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
+    if want_stats:
+        return col, isec, isec["apps"] + l_apps
     return col, isec
 
 
@@ -239,12 +259,17 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3, accel=None)
 
 def shade_after_march(
     vol, opts, table_t, px, py, mc_normal: V3, ray_pos: V3, ray_dir: V3,
-    isec, accel=None,
-) -> V3:
+    isec, accel=None, want_stats=False,
+):
     """Everything in sceneColor after the primary raymarch
     (renderer.cl:414-445): glossy normal, bounce loop / sky reflection,
     lighting, atmosphere. Split out so deferred shading (ops/render.py) can
-    run it over hit-sorted ray order."""
+    run it over hit-sorted ray order.
+
+    want_stats: also return the summed march applications of every
+    secondary raymarch (shadows + bounces) — the cost signal the deferred
+    pipeline feeds back into the next pass's band sort."""
+    apps = jnp.zeros(ray_dir.x.shape, jnp.int32)
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
     mat_idx = jnp.clip(isec["object_id"], 0, 3)
@@ -261,9 +286,15 @@ def shade_after_march(
         for _ in range(opts.reflectIter):
             r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
             bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
-            col_i, bisec = basic_scene_color(
-                vol, opts, table_t, px, py, bounce_origin, r_dir, b_active, accel
+            bounce = basic_scene_color(
+                vol, opts, table_t, px, py, bounce_origin, r_dir, b_active,
+                accel, want_stats=want_stats,
             )
+            if want_stats:
+                col_i, bisec, b_apps = bounce
+                apps = apps + b_apps
+            else:
+                col_i, bisec = bounce
             acc = where3(b_active, acc + col_i, acc)
             b_hit = bisec["object_id"] >= 0
             b_r0 = jnp.take(opts.mat_r0, jnp.clip(bisec["object_id"], 0, 3))
@@ -278,10 +309,15 @@ def shade_after_march(
 
     lit = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
-        norm_p, reflect_col, hit, accel,
+        norm_p, reflect_col, hit, accel, want_stats=want_stats,
     )
+    if want_stats:
+        lit, l_apps = lit
+        apps = apps + l_apps
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
         opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
+    if want_stats:
+        return col, apps
     return col

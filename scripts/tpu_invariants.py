@@ -33,7 +33,14 @@ def main():
     ap.add_argument("--vres", type=int, default=96)
     ap.add_argument("--spp", type=int, default=2)
     ap.add_argument("--mat", default="metal")  # exercises reflections
+    ap.add_argument("--only", default=None,
+                    help="comma list of invariant names to run (compile "
+                         "budget per invocation on the hosted tunnel)")
     args = ap.parse_args()
+    wanted = set(args.only.split(",")) if args.only else None
+
+    def run_inv(name):
+        return wanted is None or name in wanted
 
     from raymarchcl_tpu.api import build_accel_for, default_volume
     from raymarchcl_tpu.ops import render as render_mod
@@ -63,27 +70,32 @@ def main():
     # reference rendering: accel + deferred + auto tiles + 1 slice
     ref, ref_accum = render_mod.render_image(vol, opts, tables, accel=accel)
 
-    a, _ = render_mod.render_image(vol, opts, tables, accel=None)
-    record("accel_on_off", ref, a)
+    if run_inv("accel_on_off"):
+        a, _ = render_mod.render_image(vol, opts, tables, accel=None)
+        record("accel_on_off", ref, a)
 
-    saved = render_mod.DEFERRED_SHADE
-    try:
-        render_mod.DEFERRED_SHADE = False
-        b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
-        record("deferred_on_off", ref, b)
-    finally:
-        render_mod.DEFERRED_SHADE = saved
+    if run_inv("deferred_on_off"):
+        saved = render_mod.DEFERRED_SHADE
+        try:
+            render_mod.DEFERRED_SHADE = False
+            b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("deferred_on_off", ref, b)
+        finally:
+            render_mod.DEFERRED_SHADE = saved
 
-    saved_tiles = render_mod.TILE_RAYS
-    try:
-        render_mod.TILE_RAYS = opts.num_pixels + 1  # forces tiles=1
-        c, _ = render_mod.render_image(vol, opts, tables, accel=accel)
-        record("band_tiling_on_off", ref, c)
-    finally:
-        render_mod.TILE_RAYS = saved_tiles
+    if run_inv("band_tiling_on_off"):
+        saved_tiles = render_mod.TILE_RAYS
+        try:
+            render_mod.TILE_RAYS = opts.num_pixels + 1  # forces tiles=1
+            c, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("band_tiling_on_off", ref, c)
+        finally:
+            render_mod.TILE_RAYS = saved_tiles
 
-    d, _ = render_mod.render_image(vol, opts, tables, accel=accel, host_slices=4)
-    record("host_slices_1_vs_4", ref, d)
+    if run_inv("host_slices_1_vs_4"):
+        d, _ = render_mod.render_image(vol, opts, tables, accel=accel,
+                                       host_slices=4)
+        record("host_slices_1_vs_4", ref, d)
 
     ok = all(results.values())
     print(
