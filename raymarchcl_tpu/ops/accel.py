@@ -2,31 +2,36 @@
 
 The reference brute-forces every voxel step through the volume with one
 lookup per sample (renderer.cl:219-234). On this TPU, arbitrary gathers pay
-a fixed per-ROW cost, nearly independent of row width: gathering a 256-byte
-row costs ~1.6x a single element (scripts/bench_row_gather.py, v5e). So the
-march's unit of memory access is not a voxel but a BRICK: one gather stages
-an entire 8^3-voxel neighborhood, and the following probe steps against it
+a fixed per-ROW cost up to ~64-72 B of row width: gathering a 72-byte row
+costs about the same as a single element (scripts/bench_row_gather.py,
+v5e: ~18.8 M rows/s at 64 B vs ~9.1 M at 256 B). So the march's unit of
+memory access is not a voxel but a BRICK: one gather stages an entire
+8^3-voxel occupancy neighborhood, and the following probe steps against it
 are pure vector ops.
 
-Row layout — (NB, 64) uint32 per 8^3 brick, brick id (bz*NBY + by)*NBX + bx,
+Row layout — (NB, 18) uint32 per 8^3 brick, brick id (bz*NBY + by)*NBX + bx,
 local bit index L = ((lz*8 + ly)*8 + lx):
 
   words [0:16)   STOP bitplane: bit L set <=> the voxel stops the march
                  (value > isoVal), with out-of-grid padding voxels set
-  words [16:48)  2-bit CODE plane at word 16+(L>>4), shift 2*(L&15):
-                 0 when v < isoVal, else the material band of v
-                 (renderer.cl:205-207: v<84 -> 1, v<168 -> 2, else 3).
-                 code != 0 is exactly voxelLookupI occupancy (v >= isoVal),
-                 and at any hit voxel (v > isoVal) code == voxelMaterial(v)
-  word 48        brick-level Chebyshev distance D (in bricks, capped 255)
+  word 16        brick-level Chebyshev distance D (in bricks, capped 255)
                  to the nearest brick containing a STOP bit, with
                  outside-the-grid counting as stopping
-  words [49:64)  zero padding (alignment headroom)
+  word 17        zero padding (even word count)
+
+Rows deliberately carry NO material information: random row gathers pay
+roughly per-byte above 64 B on this platform (64 B rows gather ~2x faster
+than the 256 B rows of an earlier layout that embedded a 2-bit material
+plane), while the march needs a material only at its final hit voxel —
+ONE element re-fetch of the volume per ray (march.py), exactly the
+reference's value-at-hit semantics (renderer.cl:205-207, 226).
 
 March contracts (proofs the marches rely on; asserted bit-for-bit against
 the plain march in tests/test_accel.py):
 
-* STOP bit at an in-bounds sample is EXACTLY the reference's hit test.
+* STOP bit at an in-bounds sample is EXACTLY the reference's hit test,
+  and at any hit voxel (v > isoVal) voxelMaterial(vol[voxel]) is the
+  reference's material band — fetched once per ray after the march.
 * D >= 1 proves the brick holds no stopping voxel and is in-grid, so the
   landing sample itself is not a hit.
 * D >= 2 proves every voxel within Chebyshev distance d_equiv - 1 of any
@@ -36,9 +41,10 @@ the plain march in tests/test_accel.py):
   floor((d_equiv - SKIP_SLACK) / vps) samples exactly like the round-1
   per-voxel distance field, with the same truncation-slack argument.
 
-Memory: 256 B per 8^3 brick = 0.5 byte/voxel (a 256^3 volume -> 8 MiB),
-plus a 64 B/brick occupancy bitplane (`ge_rows`) serving the smooth-normal
-neighborhood (ops/march._occ5_bricks).
+Memory: 72 B per 8^3 brick = 0.14 byte/voxel (a 256^3 volume -> 2.3 MiB),
+plus a 224 B/brick 12^3 occupancy window (`nrm_rows`) serving the whole
+5^3 smooth-normal neighborhood with ONE row gather per ray
+(ops/march._occ5_superbrick).
 """
 
 from __future__ import annotations
@@ -50,8 +56,18 @@ from flax import struct
 _I32 = jnp.int32
 
 BRICK = 8  # voxels per brick axis
-ROW_WORDS = 64
-STOP_W0, CODE_W0, DIST_W = 0, 16, 48
+ROW_WORDS = 18
+STOP_W0, DIST_W = 0, 16
+NRM_ROW_WORDS = 56  # 12^3 bits = 54 words, padded to even
+
+# Tables at or below this row count also carry a byte-plane f32 copy so
+# row gathers can run as one-hot matmuls ON THE MXU instead of XLA's
+# scalar-loop gather emitter: gather cost is O(K * NB) MACs, a win for
+# small-volume scenes (64^3 mesh grids -> 512 bricks). EXACT because every
+# payload is a byte (integers <= 255 are bf16-exact, so the default
+# single-pass bf16 MXU product against a 0/1 one-hot is exact) and each
+# f32-accumulated row sum has exactly one nonzero term (march._mxu_rows).
+ONEHOT_MAX_ROWS = 4096
 
 # Safety slack subtracted from d_equiv before converting to skippable steps:
 # voxel coords are trunc-toward-zero of f32 products, so a sample i steps
@@ -67,18 +83,29 @@ BRICK_SUBSTEPS = 6
 
 @struct.dataclass
 class Accel:
-    """Brick table + occupancy bitplane (see module doc).
+    """Brick table + smooth-normal window bitplane (see module doc).
 
-    rows:    (NB, 64) uint32 brick rows (march).
-    ge_rows: (NB, 16) uint32 per-brick OCCUPANCY bitplane at the same local
-             bit indexing: bit L set <=> v >= isoVal (voxelLookupI,
-             renderer.cl:172-178), padding voxels clear. Serves the 5^3
-             smooth-normal neighborhood with 8 row gathers per ray
-             (ops/march._occ5_bricks) instead of 125 element gathers.
+    rows:     (NB, 18) uint32 brick rows (march).
+    nrm_rows: ((NBZ+2)*(NBY+2)*(NBX+2), 56) uint32 12^3 OCCUPANCY windows
+              over the brick grid plus a 1-brick ring (ring windows serve
+              neighborhoods straddling the boundary from outside), bit
+              L = (wz*12 + wy)*12 + wx (little-endian within/across words)
+              over window voxel (8*bx - 2 + wx, ...): bit set <=> v >=
+              isoVal (voxelLookupI, renderer.cl:172-178), out-of-grid and
+              padding voxels clear. Any voxel q of brick b has its whole
+              [q-2, q+2]^3 smooth-normal neighborhood inside b's window,
+              so ONE row gather serves all 125 occupancy bits
+              (ops/march._occ5_superbrick) instead of 125 element gathers
+              (or the 8 smaller row gathers of the earlier layout).
     """
 
     rows: jnp.ndarray
-    ge_rows: jnp.ndarray
+    nrm_rows: jnp.ndarray
+    # byte-plane f32 copies for MXU one-hot gathers (None above
+    # ONEHOT_MAX_ROWS): (NB, 4*ROW_WORDS) and (NBW, 4*NRM_ROW_WORDS),
+    # column 4*w + b = byte b of word w
+    rows_mxu: jnp.ndarray | None = None
+    nrm_mxu: jnp.ndarray | None = None
 
 
 def brick_dims(voxel_res):
@@ -118,12 +145,9 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
     nbx, nby, nbz = brick_dims(voxel_res)
     v = np.asarray(vol, np.uint8).reshape(rz, ry, rx)
 
-    # pad to brick multiples: stop=1 (outside grid), code=0 (never read)
+    # pad to brick multiples: stop=1 (outside grid)
     stop = np.ones((nbz * BRICK, nby * BRICK, nbx * BRICK), bool)
     stop[:rz, :ry, :rx] = v > iso_val
-    band = np.where(v < 84, 1, np.where(v < 168, 2, 3)).astype(np.uint8)
-    code = np.zeros_like(stop, np.uint8)
-    code[:rz, :ry, :rx] = np.where(v >= iso_val, band, 0)
 
     sb = _brickify(stop, nbx, nby, nbz)  # (NB, 512) bool
     occw = (
@@ -131,27 +155,47 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
         .view("<u4")
         .astype(np.uint32)
     )  # (NB, 16)
-    cb = _brickify(code, nbx, nby, nbz).astype(np.uint32)  # (NB, 512)
-    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-    codew = np.bitwise_or.reduce(cb.reshape(-1, 32, 16) << shifts, axis=2)
 
     brick_stop = sb.any(axis=1).reshape(nbz, nby, nbx)
     dist = chebyshev_from_mask(brick_stop).reshape(-1).astype(np.uint32)
 
     nb = sb.shape[0]
     rows = np.zeros((nb, ROW_WORDS), np.uint32)
-    rows[:, STOP_W0:CODE_W0] = occw
-    rows[:, CODE_W0:DIST_W] = codew
+    rows[:, STOP_W0:DIST_W] = occw
     rows[:, DIST_W] = dist
 
+    # 12^3 occupancy windows at brick stride over an EXPANDED
+    # (+1-brick-ring) grid (see Accel.nrm_rows): ring windows serve
+    # neighborhoods of out-of-grid voxel coords that straddle back into
+    # the grid. Pad the brick-multiple grid by 10 zero voxels per side
+    # (ring brick origin 8*(-1) - 2 = -10; out-of-grid occupancy is 0),
+    # slide a 12^3 window at stride 8.
     ge = np.zeros(stop.shape, bool)
     ge[:rz, :ry, :rx] = v >= iso_val
-    gew = (
-        np.packbits(_brickify(ge, nbx, nby, nbz), axis=1, bitorder="little")
-        .view("<u4")
-        .astype(np.uint32)
+    gep = np.zeros(
+        (nbz * BRICK + 20, nby * BRICK + 20, nbx * BRICK + 20), bool
     )
-    return Accel(rows=jnp.asarray(rows), ge_rows=jnp.asarray(gew))
+    gep[10:-10, 10:-10, 10:-10] = ge
+    win = np.lib.stride_tricks.sliding_window_view(gep, (12, 12, 12))[
+        ::BRICK, ::BRICK, ::BRICK
+    ].reshape((nbz + 2) * (nby + 2) * (nbx + 2), 12 * 12 * 12)
+    nrm = np.zeros((win.shape[0], NRM_ROW_WORDS * 4), np.uint8)
+    nrm[:, : (12 ** 3 + 7) // 8] = np.packbits(win, axis=1, bitorder="little")
+    nrm = nrm.view("<u4").astype(np.uint32)
+
+    def byte_planes(t):
+        # (R, W) u32 -> (R, 4W) f32 little-endian byte planes (all values
+        # <= 255: bf16-exact, see ONEHOT_MAX_ROWS)
+        return jnp.asarray(
+            t.astype("<u4").view(np.uint8).astype(np.float32)
+        )
+
+    rows_mxu = byte_planes(rows) if nb <= ONEHOT_MAX_ROWS else None
+    nrm_mxu = byte_planes(nrm) if nrm.shape[0] <= ONEHOT_MAX_ROWS else None
+    return Accel(
+        rows=jnp.asarray(rows), nrm_rows=jnp.asarray(nrm),
+        rows_mxu=rows_mxu, nrm_mxu=nrm_mxu,
+    )
 
 
 def skips_per_distance(opts, delta):

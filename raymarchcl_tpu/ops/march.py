@@ -180,65 +180,51 @@ def voxel_normal_fast(vol, opts, q: V3) -> V3:
     return normalize(-n)
 
 
-def _occ5_bricks(accel, opts, q: V3):
-    """(5, 5, 5, N) occupancy block around q from 8 brick-bitplane row
-    gathers: the 2x2x2 brick block covering [q-2, q+2]^3 is staged (a row
-    gather costs ~1 element gather on this platform — ops/accel.py), then
-    all 125 occupancy bits are extracted with pure vector ops. Values
-    identical to the byte path (occupancy_i semantics incl. bounds: padded
-    and out-of-grid voxels read 0). Axis order: [dx, dy, dz, ray]."""
-    from .accel import brick_dims
+def _occ5_superbrick(accel, opts, q: V3):
+    """(5, 5, 5, N) occupancy block around q from ONE row gather: brick
+    b = q >> 3's 12^3 occupancy window covers [q-2, q+2]^3 for every q in b
+    (accel.Accel.nrm_rows), so the gather stages all 125 bits and pure
+    vector ops extract them. Values identical to the byte path
+    (occupancy_i semantics incl. bounds: out-of-grid voxels read 0).
+    Axis order: [dx, dy, dz, ray].
+
+    The window table covers a +1-brick ring around the grid, so q up to 8
+    voxels outside still resolves its (possibly grid-straddling)
+    neighborhood exactly; farther q gets an all-zero row — also exact
+    (every neighborhood voxel is out-of-grid, occupancy 0)."""
+    from .accel import NRM_ROW_WORDS, brick_dims
 
     nbx, nby, nbz = brick_dims(opts.voxelRes)
     n = q.x.shape[0]
-    x0, y0, z0 = q.x - 2, q.y - 2, q.z - 2
-    b0x, b0y, b0z = x0 >> 3, y0 >> 3, z0 >> 3  # arithmetic shift floors
-    u0x = (x0 & 7).astype(jnp.uint32)
-    u0y, u0z = y0 & 7, z0 & 7  # in [0, 7]
+    ex, ey, ez = (q.x >> 3) + 1, (q.y >> 3) + 1, (q.z >> 3) + 1
+    inb = (
+        (ex >= 0) & (ex < nbx + 2)
+        & (ey >= 0) & (ey < nby + 2)
+        & (ez >= 0) & (ez < nbz + 2)
+    )
+    bid = jnp.where(inb, (ez * (nby + 2) + ey) * (nbx + 2) + ex, 0)
+    row = _gather_rows(accel.nrm_rows, accel.nrm_mxu, bid, NRM_ROW_WORDS)
+    row = jnp.where(inb[:, None], row, jnp.uint32(0))
 
-    # stage the 8 neighbor brick bitplanes, zeroing out-of-grid bricks
-    planes = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                bx, by, bz = b0x + dx, b0y + dy, b0z + dz
-                vb = (
-                    (bx >= 0) & (bx < nbx)
-                    & (by >= 0) & (by < nby)
-                    & (bz >= 0) & (bz < nbz)
-                )
-                bid = jnp.where(vb, (bz * nby + by) * nbx + bx, 0)
-                g = jnp.take(accel.ge_rows, bid, axis=0, mode="clip")  # (N, 16)
-                planes.append(jnp.where(vb[:, None], g, jnp.uint32(0)))
-
-    iota16 = jnp.arange(16, dtype=_I32)[None, :]
+    u0x = (q.x & 7).astype(jnp.uint32)  # window coord of q-2 per axis
+    u0y, u0z = q.y & 7, q.z & 7
+    iota = jnp.arange(NRM_ROW_WORDS, dtype=_I32)[None, :]
     occ = [[[None] * 5 for _ in range(5)] for _ in range(5)]  # [dx][dy][dz]
     for k in range(5):  # dz offset
-        uz = u0z + k
-        sz = uz >> 3  # which z-brick (0/1)
-        lz = uz & 7
         for j in range(5):  # dy offset
-            uy = u0y + j
-            sy = uy >> 3
-            ly = uy & 7
-            r = lz * 8 + ly  # x-row index within the brick
-            w = r >> 2  # word holding 4 x-rows
-            sh = ((r & 3) * 8).astype(jnp.uint32)
-            row16 = jnp.zeros((n,), jnp.uint32)
-            for dx in (0, 1):
-                pl = jnp.zeros((n, 16), jnp.uint32)
-                for a in (0, 1):
-                    for b in (0, 1):
-                        m = (sz == a) & (sy == b)
-                        pl = pl + jnp.where(
-                            m[:, None], planes[a * 4 + b * 2 + dx], jnp.uint32(0)
-                        )
-                word = jnp.sum(
-                    jnp.where(iota16 == w[:, None], pl, jnp.uint32(0)), axis=1
-                )
-                row8 = (word >> sh) & jnp.uint32(0xFF)
-                row16 = row16 | (row8 << jnp.uint32(8 * dx))
-            bits = row16 >> u0x  # bit i = occupancy at x = qx - 2 + i
+            base = ((u0z + k) * 12 + (u0y + j)) * 12 + u0x.astype(_I32)
+            w1 = base >> 5
+            sh = (base & 31).astype(jnp.uint32)
+            word1 = jnp.sum(
+                jnp.where(iota == w1[:, None], row, jnp.uint32(0)), axis=1
+            )
+            word2 = jnp.sum(
+                jnp.where(iota == (w1 + 1)[:, None], row, jnp.uint32(0)), axis=1
+            )
+            hi = jnp.where(
+                sh > jnp.uint32(0), word2 << (jnp.uint32(32) - sh), jnp.uint32(0)
+            )
+            bits = (word1 >> sh) | hi  # bit i = occupancy at x = qx - 2 + i
             for i in range(5):
                 occ[i][j][k] = ((bits >> jnp.uint32(i)) & 1).astype(_F32)
     return jnp.stack(
@@ -250,13 +236,13 @@ def voxel_normal_smooth(vol, opts, q: V3, accel=None) -> V3:
     """Sum of gradient normals over the occupied 3x3x3 neighborhood,
     normalized (reference: renderer.cl:190-203).
 
-    One (125, N) occupancy gather, or 8 brick-row gathers + vector bit
-    extraction when the accel is available (_occ5_bricks); gradients by
-    shifted slicing of the (5, 5, 5, N) occupancy block.
+    One (125, N) occupancy gather, or ONE 12^3-window row gather + vector
+    bit extraction when the accel is available (_occ5_superbrick);
+    gradients by shifted slicing of the (5, 5, 5, N) occupancy block.
     """
     n = q.x.shape[0]
     if accel is not None:
-        occ = _occ5_bricks(accel, opts, q)  # [dx, dy, dz, ray]
+        occ = _occ5_superbrick(accel, opts, q)  # [dx, dy, dz, ray]
     else:
         qq = V3(
             q.x[None, :] + jnp.asarray(_OX5)[:, None],
@@ -374,6 +360,32 @@ def march_volume(
     return hit, hit_k
 
 
+def _mxu_rows(table_mxu, bid, n_words):
+    """Row gather as a one-hot matmul on the MXU (EXACT — see
+    accel.ONEHOT_MAX_ROWS): onehot(bid) @ byte_planes, then reassemble
+    u32 words from the four byte columns. bid must be pre-clipped."""
+    nb = table_mxu.shape[0]
+    oh = (bid[:, None] == jnp.arange(nb, dtype=bid.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    b = oh @ table_mxu  # (N, 4*n_words); one nonzero per sum -> exact
+    b = b.reshape(b.shape[0], n_words, 4).astype(jnp.uint32)
+    return (
+        b[:, :, 0]
+        | (b[:, :, 1] << 8)
+        | (b[:, :, 2] << 16)
+        | (b[:, :, 3] << 24)
+    )
+
+
+def _gather_rows(accel_rows, accel_mxu, bid, n_words):
+    """March/normal row fetch: MXU one-hot path for small tables, XLA take
+    otherwise."""
+    if accel_mxu is not None:
+        return _mxu_rows(accel_mxu, bid, n_words)
+    return jnp.take(accel_rows, bid, axis=0, mode="clip")
+
+
 def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
     """One brick application of the fixed-step march (see ops/accel.py).
 
@@ -398,12 +410,11 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
       ended  — lane finished with a stop (hit or break) at k_end
       hit    — stop was a hit (subset of ended)
       k_end  — stopping sample index (valid where ended)
-      code   — 2-bit material band at the hit voxel (valid where hit)
       dead   — lane finished by budget exhaustion (no stop recorded)
       cont   — lane continues next application at k_next (< cap)
       k_next — next landing for cont lanes
     """
-    from .accel import BRICK_SUBSTEPS, CODE_W0, DIST_W, SKIP_SLACK, STOP_W0, brick_dims
+    from .accel import BRICK_SUBSTEPS, DIST_W, SKIP_SLACK, STOP_W0, brick_dims
 
     nbx, nby, _ = brick_dims(opts.voxelRes)
     n = k.shape[0]
@@ -413,21 +424,22 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
     valid, _ = _bounds_and_index(opts, q)
     bx, by, bz = q.x >> 3, q.y >> 3, q.z >> 3
     bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
-    rows = jnp.take(accel.rows, bid, axis=0, mode="clip")  # (N, 64) u32
+    from .accel import ROW_WORDS
+
+    rows = _gather_rows(accel.rows, accel.rows_mxu, bid, ROW_WORDS)  # (N, 18)
 
     d_equiv = 8.0 * rows[:, DIST_W].astype(_F32) - 7.0
     # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
     # degenerate rays; 2^30 steps is "past any budget" either way)
     skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
 
-    stopw = rows[:, STOP_W0:CODE_W0]  # (N, 16)
+    stopw = rows[:, STOP_W0:DIST_W]  # (N, 16)
     iota16 = jnp.arange(16, dtype=_I32)[None, :]
 
     brk = act & ~valid  # landing itself out of grid
     hit = jnp.zeros((n,), bool)
     dead = jnp.zeros((n,), bool)
     k_end = jnp.where(brk, k, 0)
-    l_hit = jnp.zeros((n,), _I32)
     k_exit = k
     pend = act & valid & (skip == 0)
     for i in range(BRICK_SUBSTEPS):
@@ -451,18 +463,9 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
         brk = brk | ev_brk
         dead = dead | ev_dead
         k_end = jnp.where(ev_hit | ev_brk, ki, k_end)
-        l_hit = jnp.where(ev_hit, li, l_hit)
         k_exit = jnp.where(ev_exit, ki, k_exit)
         pend = pend & in_b & vi & same & ~bit
     k_exit = jnp.where(pend, k + BRICK_SUBSTEPS, k_exit)  # unroll out: re-gather
-
-    # material band code at the hit voxel, from the staged CODE plane
-    codew = rows[:, CODE_W0:DIST_W]  # (N, 32)
-    iota32 = jnp.arange(32, dtype=_I32)[None, :]
-    cword = jnp.sum(
-        jnp.where(iota32 == (l_hit >> 4)[:, None], codew, jnp.uint32(0)), axis=1
-    )
-    code = ((cword >> (2 * (l_hit & 15)).astype(jnp.uint32)) & 3).astype(_I32)
 
     ended = hit | brk
     k_next = jnp.where(act & valid & (skip > 0), k + 1 + skip, k_exit)
@@ -473,7 +476,6 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
         "ended": ended,
         "hit": hit,
         "k_end": k_end,
-        "code": code,
         "dead": dead,
         "cont": cont,
         "k_next": k_next,
@@ -522,13 +524,18 @@ def _march_volume_brick(opts, accel, p0: V3, delta: V3, steps, active, max_k=Non
     return hit, hit_k
 
 
-def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None, max_k=None, max_k_dyn=None):
+def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, accel=None, idist=None, max_k=None, max_k_dyn=None, want_material=True):
     """Scene distance = ground plane U voxel volume
     (reference: renderer.cl:209-237).
 
     Returns dict: dist (N,), mat (N,) float (ground quirk: its own
     distance), hit (N,) bool, q (V3 int hit voxel coords), gd (N,).
     Normals are NOT computed here — see `isec_normal`.
+
+    want_material=False skips the value re-fetch at the hit voxel (one
+    element gather); `mat` is then NOT meaningful — callers must consume
+    only `dist` (ambient_occlusion does). `dist` is unaffected: distUnion's
+    distance branch never reads the material lane.
     """
     gd = rpos.y + opts.groundY
     # distUnion((gd, gd), (1e5, -1)) — the scalar float2 broadcast makes the
@@ -554,11 +561,14 @@ def distance_to_scene(vol, opts, rpos: V3, rdir: V3, steps, active, chunk=None, 
     kf = hit_k.astype(_F32)
     hit_p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, hit_p)
-    hit_v, _ = voxel_fetch(vol, opts, q)  # re-fetch value at hit (N,)
     vb2 = _np3(opts.voxelBounds2)
     world = V3(hit_p.x * vb2[0] - vb[0], hit_p.y * vb2[1] - vb[1], hit_p.z * vb2[2] - vb[2])
     vdist = norm(rpos - world) - opts.voxelSize
-    vmat = voxel_material(hit_v)
+    if want_material:
+        hit_v, _ = voxel_fetch(vol, opts, q)  # re-fetch value at hit (N,)
+        vmat = voxel_material(hit_v)
+    else:
+        vmat = res_m  # placeholder: `mat` not meaningful (docstring)
 
     hd, hm = dist_union(vdist, vmat, res_d, res_m)
     return {
@@ -603,6 +613,7 @@ def raymarch(
     accel=None,
     truncate_to_max_dist=False,
     want_stats=False,
+    want_object=True,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
@@ -636,6 +647,10 @@ def raymarch(
     ground term (same sd either way) or overshoots max_dist (same
     miss-fixup either way); shadow() never reads normals/object ids.
 
+    want_object=False (flat engine) skips the deferred per-ray hit-material
+    fetch; object_id is then only a ground-quirk value, NOT the voxel
+    material — callers must consume only `distance` (shadow does).
+
     Ground-tail fast path: rays whose LINE misses the voxel box
     (intersectsBox < 0 — permanent once true) have a purely scalar scene
     distance (the ground plane), so instead of one sphere-trace step per
@@ -649,8 +664,8 @@ def raymarch(
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
     if accel is not None:
         c = _raymarch_flat(
-            accel, opts, ray_pos, ray_dir, max_dist, max_steps, active,
-            truncate_to_max_dist,
+            accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
+            truncate_to_max_dist, want_object=want_object,
         )
     else:
         c = _raymarch_nested(
@@ -793,8 +808,8 @@ FLAT_GROUND_STEPS = 4
 
 
 def _raymarch_flat(
-    accel, opts, ray_pos, ray_dir, max_dist, max_steps, active,
-    truncate_to_max_dist,
+    accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
+    truncate_to_max_dist, want_object=True,
 ):
     """Flattened scheduling of the sphere trace (see raymarch docstring).
 
@@ -802,11 +817,12 @@ def _raymarch_flat(
 
       SETUP  -> sphere-round prologue: ground distance, box test, march
                 setup (p0/k/cap); branches to MARCH, GROUND or BOOK.
-      MARCH  -> one brick application (_brick_probe): a single (64,) row
+      MARCH  -> one brick application (_brick_probe): a single (18,) row
                 gather stages the landing's 8^3 brick — STOP bits resolve up
-                to BRICK_SUBSTEPS samples, the CODE plane supplies the hit
-                material (no second fetch), and the brick-level distance
-                licenses provable multi-sample skips (ops/accel.py).
+                to BRICK_SUBSTEPS samples and the brick-level distance
+                licenses provable multi-sample skips (ops/accel.py). The
+                hit MATERIAL is deferred: one voxel_fetch per ray after
+                the loop (want_object), not one per march event.
                 On stop/budget-exhaustion, sphere bookkeeping runs in the
                 same application and the lane returns to SETUP (or DONE).
       GROUND -> FLAT_GROUND_STEPS exact ground-only sphere steps per
@@ -910,11 +926,15 @@ def _raymarch_flat(
         gd, res_d, res_m = _ground_res(pos)
         world = V3(p.x * vb2[0] - vb[0], p.y * vb2[1] - vb[1], p.z * vb2[2] - vb[2])
         vdist = norm(pos - world) - opts.voxelSize
-        # the CODE plane at a hit voxel IS voxelMaterial(v) (ops/accel.py)
-        vmat = ev["code"].astype(_F32)
-        hd, hm = dist_union(vdist, vmat, res_d, res_m)
+        # distUnion's d-branch; the material side is DEFERRED: a hit event
+        # whose voxel term wins (take1) marks `ovox`, and the material —
+        # voxelMaterial(vol[q]), identical to the reference's value-at-hit
+        # (renderer.cl:205-207, 226) — is fetched ONCE per ray after the
+        # loop instead of per march event. Every other event's obj is the
+        # ground-quirk value res_m, written directly.
+        take1 = vdist < res_d
+        hd = jnp.where(take1, vdist, res_d)
         sd_d = jnp.where(m_hit, hd, res_d)
-        sd_m = jnp.where(m_hit, hm, res_m)
         done = (jnp.abs(sd_d) <= opts.eps) | (c["dist"] >= max_dist)
         s = jnp.where(be, c["s"] + 1, c["s"])
         fin = done | (s >= max_steps)
@@ -926,7 +946,8 @@ def _raymarch_flat(
             "s": s,
             "dist_prev": jnp.where(be, c["dist"], c["dist_prev"]),
             "dist": jnp.where(be & ~done, c["dist"] + sd_d, c["dist"]),
-            "obj": jnp.where(be, sd_m.astype(_I32), c["obj"]),
+            "obj": jnp.where(be, res_m.astype(_I32), c["obj"]),
+            "ovox": jnp.where(be, m_hit & take1, c["ovox"]),
             "hit": jnp.where(be, m_hit, c["hit"]),
             "q": V3(
                 jnp.where(be, qc.x, c["q"].x),
@@ -961,6 +982,7 @@ def _raymarch_flat(
                 "dist_prev": jnp.where(a, c["dist"], c["dist_prev"]),
                 "dist": jnp.where(a & ~done, c["dist"] + res_d, c["dist"]),
                 "obj": jnp.where(a, res_m.astype(_I32), c["obj"]),
+                "ovox": jnp.where(a, False, c["ovox"]),
                 "hit": jnp.where(a, False, c["hit"]),
                 "gd": jnp.where(a, gd, c["gd"]),
             }
@@ -1007,6 +1029,7 @@ def _raymarch_flat(
         # bit-equal and 3x smaller)
         "dist_prev": zf,
         "obj": zi,
+        "ovox": jnp.zeros((n,), bool),  # last event's material is voxel-won
         "hit": jnp.zeros((n,), bool),
         "q": V3(zi, zi, zi),
         "gd": zf,
@@ -1016,4 +1039,12 @@ def _raymarch_flat(
     }
     c = jax.lax.while_loop(cond, body, _carry_vma(carry, ray_pos.x))
     c["pos"] = ray_pos + ray_dir * c["dist_prev"]
+    if want_object:
+        # deferred hit material: one element fetch per ray (see
+        # _march_and_book). Skipped for shadow rays (want_object=False),
+        # whose only consumer is the distance.
+        hv, _ = voxel_fetch(vol, opts, c["q"])
+        c["obj"] = jnp.where(
+            c["ovox"], voxel_material(hv).astype(_I32), c["obj"]
+        )
     return c

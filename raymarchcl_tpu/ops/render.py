@@ -273,9 +273,16 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         def step(carry, xs):
             acc, cost = carry
             t, table = xs
-            acc, cost = render_pass(
+            acc, new_cost = render_pass(
                 vol, opts.replace(time=t), table, acc, ids, accel,
                 prev_cost=cost,
+            )
+            # decaying max over the pass history: per-pass jitter makes a
+            # single pass's cost a noisy predictor; the running max with a
+            # mild decay tracks the local worst case the band sort needs
+            cost = jax.tree_util.tree_map(
+                lambda new, old: jnp.maximum(new, old - (old >> 2)),
+                new_cost, cost,
             )
             return (acc, cost), None
 

@@ -76,7 +76,7 @@ def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None,
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False, accel=accel,
-        truncate_to_max_dist=True, want_stats=want_stats,
+        truncate_to_max_dist=True, want_stats=want_stats, want_object=False,
     )
     sf = (isec["distance"] >= light_max_dist).astype(_F32)
     if want_stats:
@@ -142,7 +142,7 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=Non
         sn = normalize(sampling.rand_xyz(table_t, seed) * 0.2 + normal)
         sd = distance_to_scene(
             vol, opts, pos + sn * d, sn, steps, act, accel=accel,
-            max_k=_ao_trunc_steps(opts, steps, i),
+            max_k=_ao_trunc_steps(opts, steps, i), want_material=False,
         )
         ao_new = ao * (1.0 - jnp.maximum((d - sd["dist"]) * opts.aoAmp / d, 0.0))
         ao = jnp.where(act, ao_new, ao)
@@ -168,17 +168,14 @@ def object_lighting(
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
     mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
-    want_stats: also return summed shadow-march applications (cost signal).
+    want_stats: also return summed secondary-march applications (the cost
+    signal for cost-sorted shade bands, ops/render.py).
     """
     albedo, r0, smoothness = _mat_gather(opts, mat_idx)
     apps = jnp.zeros_like(mat_idx)
 
-    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
-    diff = sky_gradient(opts, normal) * ao
-    spec = reflect_col * ao
-    final = V3.const((0.0, 0.0, 0.0), like=ao)
-    fresnel = schlick(r0, smoothness, normal, ray_dir)
-
+    # Per-light geometry, shared by both march paths.
+    lt = []
     for i in range(opts.numLights):
         delta = light_pos_jittered(opts, table_t, px, py, i) - isec_pos
         d2 = dot(delta, delta)
@@ -186,18 +183,52 @@ def object_lighting(
         in_range = att > opts.minLightAtt
         ldir = normalize(delta)
         lmax = jnp.minimum(jnp.sqrt(d2) - opts.shadowBias, opts.maxDist)
+        # Exact shadow-march skip: sf reaches the output only through
+        # gain, which multiplies the Lambert and Blinn-Phong terms — both
+        # provably zero when ndotl <= 0 AND nh <= 0 (the where() floors in
+        # diffuse_intensity / blinn_phong_intensity), so such lanes render
+        # identically with no march. (Same expressions as the loop below;
+        # NaN nh — ldir == ray_dir — yields 0 intensity on both sides.)
+        relevant = (dot(ldir, normal) > 0.0) | (
+            dot(normalize(ldir - ray_dir), normal) > 0.0
+        )
+        lt.append(dict(
+            ldir=ldir, lmax=lmax, att=att, in_range=in_range,
+            origin=isec_pos + ldir * opts.shadowBias,
+            act=active & in_range & relevant,
+        ))
+
+    # NOTE (measured negative result, v5e): merging all AO probes + shadow
+    # sphere-traces into ONE per-lane state machine (so a band pays
+    # max-over-lanes of TOTAL secondary work instead of summed per-phase
+    # maxima) was built, verified bit-equal on TPU, and measured ~8% SLOWER
+    # at every band size — per-phase costs CORRELATE across lanes (glancing
+    # geometry is expensive in every phase), so max(sum) ~= sum(max) and
+    # the machine's phase-select overhead wins. Kept sequential.
+    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
+    sfs = []
+    for l in lt:
         sf = shadow(
-            vol, opts, isec_pos + ldir * opts.shadowBias, ldir, lmax,
-            active & in_range, accel, want_stats=want_stats,
+            vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
+            accel, want_stats=want_stats,
         )
         if want_stats:
             sf, sh_apps = sf
             apps = apps + sh_apps
-        lit = in_range & (sf > 0.0)
-        gain = jnp.where(lit, sf * att, 0.0)
+        sfs.append(sf)
+
+    diff = sky_gradient(opts, normal) * ao
+    spec = reflect_col * ao
+    final = V3.const((0.0, 0.0, 0.0), like=ao)
+    fresnel = schlick(r0, smoothness, normal, ray_dir)
+
+    for i, l in enumerate(lt):
+        sf = sfs[i]
+        lit = l["in_range"] & (sf > 0.0)
+        gain = jnp.where(lit, sf * l["att"], 0.0)
         lc = opts.lightColor
-        di = diffuse_intensity(ldir, normal) * gain
-        si = blinn_phong_intensity(smoothness, ray_dir, ldir, normal) * gain
+        di = diffuse_intensity(l["ldir"], normal) * gain
+        si = blinn_phong_intensity(smoothness, ray_dir, l["ldir"], normal) * gain
         diff = V3(
             diff.x + lc[i, 0] * di, diff.y + lc[i, 1] * di, diff.z + lc[i, 2] * di
         )

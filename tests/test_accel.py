@@ -83,17 +83,15 @@ def _unbrickify(flat, res):
 
 
 def _unpack_rows(acc, res):
-    """Brick rows -> (stop (Z,Y,X) bool, code (Z,Y,X) u8, D (BZ,BY,BX) u32),
-    padded to brick multiples."""
+    """Brick rows -> (stop (Z,Y,X) bool, D (BZ,BY,BX) u32), padded to brick
+    multiples."""
     rows = np.asarray(acc.rows)
     nbx, nby, nbz = accel_mod.brick_dims(res)
     bits = np.unpackbits(
         np.ascontiguousarray(rows[:, :16]).view("<u1"), axis=1, bitorder="little"
     ).astype(bool)
-    shifts = 2 * np.arange(16, dtype=np.uint32)
-    codes = ((rows[:, 16:48, None] >> shifts) & 3).reshape(-1, 512).astype(np.uint8)
     d = rows[:, accel_mod.DIST_W].reshape(nbz, nby, nbx)
-    return _unbrickify(bits, res), _unbrickify(codes, res), d
+    return _unbrickify(bits, res), d
 
 
 def test_chebyshev_exact_vs_bruteforce():
@@ -106,18 +104,15 @@ def test_chebyshev_exact_vs_bruteforce():
 
 
 def test_brick_planes_exact(scene):
-    """STOP bits == {v > iso} (pad voxels set), CODE == material band for
-    v >= iso else 0, D == brick-level Chebyshev distance."""
+    """STOP bits == {v > iso} (pad voxels set), D == brick-level Chebyshev
+    distance. (Materials are NOT in the rows: the march re-fetches the hit
+    voxel's value — covered by the bit-equal raymarch/render tests.)"""
     _, vol_np, opts, acc = scene
     rx, ry, rz, _ = opts.voxelRes
     v = vol_np.reshape(rz, ry, rx)
-    stop, code, d = _unpack_rows(acc, opts.voxelRes)
+    stop, d = _unpack_rows(acc, opts.voxelRes)
     np.testing.assert_array_equal(stop[:rz, :ry, :rx], v > opts.isoVal)
     assert stop[rz:].all() and stop[:, ry:].all() and stop[:, :, rx:].all()
-    band = np.where(v < 84, 1, np.where(v < 168, 2, 3))
-    np.testing.assert_array_equal(
-        code[:rz, :ry, :rx], np.where(v >= opts.isoVal, band, 0)
-    )
     nbx, nby, nbz = accel_mod.brick_dims(opts.voxelRes)
     brick_stop = stop.reshape(nbz, 8, nby, 8, nbx, 8).any(axis=(1, 3, 5))
     np.testing.assert_array_equal(
@@ -141,16 +136,15 @@ def test_brick_distance_bounded_by_boundary(scene):
 
 def test_brick_planes_non_multiple_res():
     """Non-brick-multiple resolutions: pad voxels are STOP (so skips can
-    never cross the boundary) and code 0."""
+    never cross the boundary)."""
     rng = np.random.default_rng(3)
     res = (12, 9, 21)  # (rx, ry, rz)
     vol_np = (rng.random(res[2] * res[1] * res[0]) * 255).astype(np.uint8)
     acc = accel_mod.build_accel(vol_np, res, 32)
-    stop, code, _ = _unpack_rows(acc, res)
+    stop, _ = _unpack_rows(acc, res)
     v = vol_np.reshape(res[2], res[1], res[0])
     np.testing.assert_array_equal(stop[: res[2], : res[1], : res[0]], v > 32)
     assert stop[res[2]:].all() and stop[:, res[1]:].all() and stop[:, :, res[0]:].all()
-    assert (code[res[2]:] == 0).all()
 
 
 def test_raymarch_bit_equal(scene):
@@ -303,3 +297,33 @@ def test_brick_smooth_normal_bit_equal(scene):
     a = march.voxel_normal_smooth(vol, opts, q)
     b = march.voxel_normal_smooth(vol, opts, q, accel=acc)
     np.testing.assert_array_equal(np.asarray(a.to_array()), np.asarray(b.to_array()))
+
+
+def test_mxu_onehot_rows_bit_equal(scene):
+    """The MXU one-hot row gather must reproduce jnp.take exactly (every
+    byte payload is bf16-exact and each sum has one nonzero term)."""
+    _, _, opts, acc = scene
+    assert acc.rows_mxu is not None  # small scene -> MXU tables built
+    rng = np.random.default_rng(9)
+    for table, mxu, w in (
+        (acc.rows, acc.rows_mxu, accel_mod.ROW_WORDS),
+        (acc.nrm_rows, acc.nrm_mxu, accel_mod.NRM_ROW_WORDS),
+    ):
+        bid = jnp.asarray(
+            rng.integers(0, table.shape[0], 777, dtype=np.int32)
+        )
+        got = np.asarray(march._mxu_rows(mxu, bid, w))
+        want = np.asarray(jnp.take(table, bid, axis=0))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_mxu_large_table_falls_back():
+    """Tables above ONEHOT_MAX_ROWS must not build MXU byte planes."""
+    rng = np.random.default_rng(1)
+    vres = (128, 128, 32)  # 16*16*4 = 1024 bricks <= cap; windows larger
+    vol_np = (rng.random(int(np.prod(vres))) * 255).astype(np.uint8)
+    acc = accel_mod.build_accel(vol_np, vres, 32)
+    assert (acc.rows_mxu is None) == (acc.rows.shape[0] > accel_mod.ONEHOT_MAX_ROWS)
+    assert (acc.nrm_mxu is None) == (
+        acc.nrm_rows.shape[0] > accel_mod.ONEHOT_MAX_ROWS
+    )
