@@ -69,7 +69,7 @@ def main():
     )
     total = time.perf_counter() - t_start
     out_png = str(args.ckpt) + ".png"
-    imageio.save_argb(out_png, argb)
+    imageio.save_png(np.asarray(argb), out_png)
     n_this_run = (done_passes[-1] - (done_passes[0] - args.chunk)) if done_passes else 0
     print(json.dumps({
         "config": "5: 1024^2 metal dof=0.025",
