@@ -10,7 +10,7 @@ calls from a cache, so every rep perturbs the per-pass time vector by an
 invisible epsilon; results are fetched to host to guarantee completion.
 
 Env overrides: BENCH_SIZE (default 512), BENCH_SPP (16), BENCH_VRES (256),
-BENCH_MAT (ao), BENCH_REPS (1), BENCH_ACCEL (1), BENCH_HOST_CHUNK (16).
+BENCH_MAT (ao), BENCH_REPS (2), BENCH_ACCEL (1), BENCH_HOST_CHUNK (16).
 """
 
 from __future__ import annotations
@@ -99,7 +99,7 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", 16))
     vres = int(os.environ.get("BENCH_VRES", 256))
     mat = os.environ.get("BENCH_MAT", "ao")
-    reps = int(os.environ.get("BENCH_REPS", 1))
+    reps = int(os.environ.get("BENCH_REPS", 2))
     use_accel = os.environ.get("BENCH_ACCEL", "1") != "0"
     # The hosted TPU worker crashes intermittently; retry, then degrade to a
     # smaller config rather than report nothing.
