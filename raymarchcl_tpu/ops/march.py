@@ -86,19 +86,39 @@ def dist_union(d1, m1, d2, m2):
     return jnp.where(take1, d1, d2), jnp.where(take1, m1, m2)
 
 
+def _fmin(a, b):
+    """OpenCL fmin: NaN-suppressing minimum (returns the non-NaN operand).
+    XLA's jnp.minimum is select-based and asymmetric on NaN, so guard
+    explicitly."""
+    return jnp.where(
+        jnp.isnan(a), b, jnp.where(jnp.isnan(b), a, jnp.minimum(a, b))
+    )
+
+
+def _fmax(a, b):
+    return jnp.where(
+        jnp.isnan(a), b, jnp.where(jnp.isnan(b), a, jnp.maximum(a, b))
+    )
+
+
 def intersects_box(bmin, bmax, p: V3, d: V3):
     """Slab test (reference: renderer.cl:153-161). Returns entry distance or
-    -1.0 where the ray misses. bmin/bmax: python/np 3-sequences."""
+    -1.0 where the ray misses. bmin/bmax: python/np 3-sequences.
+
+    Zero direction components divide to ±inf (and 0/0 -> NaN when the ray
+    starts exactly on a slab plane), resolved by NaN-suppressing
+    fmin/fmax — exactly the reference's IEEE semantics. (An earlier
+    version substituted 1e-30 for zero components, which classified rays
+    starting exactly on a slab boundary differently.)"""
     a = jnp.zeros_like(p.x)
     b = None
     for c in range(3):
         dc = (d.x, d.y, d.z)[c]
         pc = (p.x, p.y, p.z)[c]
-        d_safe = jnp.where(dc == 0.0, 1e-30, dc)
-        o1 = (bmin[c] - pc) / d_safe
-        o2 = (bmax[c] - pc) / d_safe
-        lo = jnp.minimum(o1, o2)
-        hi = jnp.maximum(o1, o2)
+        o1 = (bmin[c] - pc) / dc
+        o2 = (bmax[c] - pc) / dc
+        lo = _fmin(o1, o2)
+        hi = _fmax(o1, o2)
         a = jnp.maximum(a, lo)
         b = hi if b is None else jnp.minimum(b, hi)
     return jnp.where(b > a, a, -1.0)

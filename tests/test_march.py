@@ -189,3 +189,27 @@ def test_shadow_truncation_bit_equal(gyro16):
     sa = np.asarray(a["distance"]) >= lmax
     sb = np.asarray(b["distance"]) >= lmax
     np.testing.assert_array_equal(sb, sa)
+
+
+def test_intersects_box_boundary_parallel_edge():
+    """Rays with exact-zero direction components starting exactly ON a slab
+    plane: 0/0 -> NaN, resolved by NaN-suppressing fmin/fmax exactly as
+    the reference's OpenCL (renderer.cl:153-161; round-1 review edge)."""
+    bmin = (-1.0, -1.0, -1.0)
+    bmax = (1.0, 1.0, 1.0)
+    cases = []
+    for px in (-1.0, 1.0):          # exactly on the x slabs
+        for py in (0.0, -1.0, 2.0):  # inside / on-corner / outside
+            cases.append(([px, py, -5.0], [0.0, 0.0, 1.0]))
+            cases.append(([px, py, 0.0], [0.0, 1.0, 0.0]))
+    cases.append(([-1.0, -1.0, -1.0], [0.0, 0.0, 1.0]))  # on an edge
+    cases.append(([1.0, 1.0, 1.0], [0.0, 0.0, -1.0]))
+    p = np.array([c[0] for c in cases], np.float32)
+    d = np.array([c[1] for c in cases], np.float32)
+    got = np.asarray(march.intersects_box(bmin, bmax, v3a(p), v3a(d)))
+    for i in range(len(cases)):
+        want = S.intersects_box(
+            np.asarray(bmin, np.float32), np.asarray(bmax, np.float32),
+            p[i], d[i],
+        )
+        np.testing.assert_array_equal(got[i], np.float32(want), err_msg=str(cases[i]))
