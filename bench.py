@@ -25,7 +25,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(size, spp, vres, mat, reps, use_accel):
+def check_invariants():
+    """Fast on-hardware bit-equality gate (VERDICT r2 item 5): accel on/off
+    and deferred on/off must be output-EXACT on TPU before a BENCH number is
+    recorded — an engine whose invariants broke since the last manual
+    scripts/tpu_invariants.py run must not produce a quotable headline.
+
+    Small-but-real config (64^2, metal, 1 spp: exercises the brick accel,
+    MXU gathers, deferred shading and the bounce stack). Returns a dict of
+    invariant -> bool, or None when not on TPU (XLA:CPU contracts FMAs
+    context-dependently, so bit-equality only holds on TPU — see
+    tests/test_accel.py docstring). Skippable via BENCH_SKIP_INVARIANTS=1.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    from raymarchcl_tpu.api import build_accel_for, default_volume
+    from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+    from raymarchcl_tpu.ops.sampling import make_mc_tables
+    from raymarchcl_tpu.options import render_options
+
+    volume_np, vres = default_volume((96, 96, 96))
+    vol = jnp.asarray(volume_np, jnp.uint8)
+    opts = render_options(
+        width=64, height=64, vres=list(vres), iter=1, mat="metal",
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    accel = build_accel_for(volume_np, opts)
+    tables = make_mc_tables(1, seed=0)
+    ref, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+    results = {}
+    a, _ = render_mod.render_image(vol, opts, tables, accel=None)
+    results["accel_on_off"] = bool(np.array_equal(np.asarray(ref), np.asarray(a)))
+    saved = render_mod.DEFERRED_SHADE
+    try:
+        render_mod.DEFERRED_SHADE = False
+        b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+        results["deferred_on_off"] = bool(np.array_equal(np.asarray(ref), np.asarray(b)))
+    finally:
+        render_mod.DEFERRED_SHADE = saved
+    for name, ok in results.items():
+        print(f"  invariant {name}: {'OK' if ok else 'MISMATCH'}",
+              file=sys.stderr, flush=True)
+    return results
+
+
+def run(size, spp, vres, mat, reps, use_accel, invariants=None):
 
     from raymarchcl_tpu.api import build_accel_for, default_volume
     from raymarchcl_tpu.ops import render as render_mod
@@ -89,6 +134,11 @@ def run(size, spp, vres, mat, reps, use_accel):
                 "accel": use_accel,
                 "device": str(jax.devices()[0]),
                 "samples": [round(s, 4) for s in samples],
+                # True = bit-equality invariants verified on this hardware
+                # immediately before timing; None = skipped / not on TPU
+                "invariants": (
+                    None if invariants is None else all(invariants.values())
+                ),
             }
         )
     )
@@ -101,6 +151,15 @@ def main():
     mat = os.environ.get("BENCH_MAT", "ao")
     reps = int(os.environ.get("BENCH_REPS", 2))
     use_accel = os.environ.get("BENCH_ACCEL", "1") != "0"
+    invariants = None
+    if os.environ.get("BENCH_SKIP_INVARIANTS", "0") != "1":
+        try:
+            invariants = check_invariants()
+        except Exception as e:  # pragma: no cover - hw flakiness
+            print(f"  invariant check errored: {e}", file=sys.stderr)
+    if invariants is not None and not all(invariants.values()):
+        print(f"  INVARIANT MISMATCH — flagging bench: {invariants}",
+              file=sys.stderr)
     # The hosted TPU worker crashes intermittently; retry, then degrade to a
     # smaller config rather than report nothing.
     configs = [(size, spp), (size, max(1, spp // 4)), (size // 2, max(1, spp // 4))]
@@ -108,7 +167,7 @@ def main():
     for s_, p_ in configs:
         for attempt in range(2):
             try:
-                run(s_, p_, vres, mat, reps, use_accel)
+                run(s_, p_, vres, mat, reps, use_accel, invariants)
                 return
             except Exception as e:  # pragma: no cover - hw flakiness
                 last_err = e

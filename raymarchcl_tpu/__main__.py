@@ -34,6 +34,11 @@ def main(argv=None):
     r = sub.add_parser("render", help="render a still image")
     _add_render_args(r)
     r.add_argument("-o", "--out", default="out.png")
+    r.add_argument(
+        "--preview", action="store_true",
+        help="fast look-dev budgets (quarter march budgets, same engine; "
+             "see api.PREVIEW_BUDGETS)",
+    )
 
     a = sub.add_parser("anim", help="render a turntable animation")
     _add_render_args(a)
@@ -70,7 +75,7 @@ def main(argv=None):
         api.test_render(
             width=args.width, height=args.height, iter=args.iter, vres=args.vres,
             mat=args.mat, vname=args.vname, out_path=args.out, theta=args.theta,
-            dist=args.dist, seed=args.seed, **extra,
+            dist=args.dist, seed=args.seed, preview=args.preview, **extra,
         )
         print(f"wrote {args.out}")
     elif args.cmd == "anim":

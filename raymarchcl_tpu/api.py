@@ -86,6 +86,24 @@ def build_accel_for(volume, opts):
     return build_accel(np.asarray(volume, np.uint8), opts.voxelRes, opts.isoVal)
 
 
+# Reduced march budgets for interactive iteration (the reference's workflow
+# is REPL-driven look development, README.org:26-38 — cheap frames first,
+# quality passes after). Quarter budgets of the reference defaults
+# (core.clj:54-61); reduced budgets run through the exact same parity-tested
+# engine — a preview is a *legitimate* render of a cheaper configuration,
+# not an approximation mode. Measured cost/quality vs the full-budget frame:
+# see PERFORMANCE.md ("Preview mode").
+PREVIEW_BUDGETS = dict(maxIter=32, maxVoxelIter=48, shadowIter=32, aoIter=2)
+
+
+def preview_overrides(opt_kwargs, iter=1):
+    """Merge preview budgets under any explicit user overrides; preview
+    forces 1 spp unless the caller asked for more."""
+    merged = dict(PREVIEW_BUDGETS)
+    merged.update(opt_kwargs)
+    return merged, max(1, iter)
+
+
 def test_render(
     width=640,
     height=360,
@@ -98,9 +116,15 @@ def test_render(
     dist=2.25,
     seed=0,
     verbose=True,
+    preview=False,
     **opt_kwargs,
 ):
-    """Still-image entry point (reference: core.clj:154-179 incl. defaults)."""
+    """Still-image entry point (reference: core.clj:154-179 incl. defaults).
+
+    preview=True renders with PREVIEW_BUDGETS (quarter march budgets) for
+    interactive look development."""
+    if preview:
+        opt_kwargs, iter = preview_overrides(opt_kwargs, iter)
     volume, actual_vres = load_or_generate_volume(vname, vres)
     t0 = _time.perf_counter()
     argb, _ = render_frame(

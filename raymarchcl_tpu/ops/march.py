@@ -215,7 +215,6 @@ def _occ5_superbrick(accel, opts, q: V3):
     from .accel import NRM_ROW_WORDS, brick_dims
 
     nbx, nby, nbz = brick_dims(opts.voxelRes)
-    n = q.x.shape[0]
     ex, ey, ez = (q.x >> 3) + 1, (q.y >> 3) + 1, (q.z >> 3) + 1
     inb = (
         (ex >= 0) & (ex < nbx + 2)
@@ -260,7 +259,6 @@ def voxel_normal_smooth(vol, opts, q: V3, accel=None) -> V3:
     bit extraction when the accel is available (_occ5_superbrick);
     gradients by shifted slicing of the (5, 5, 5, N) occupancy block.
     """
-    n = q.x.shape[0]
     if accel is not None:
         occ = _occ5_superbrick(accel, opts, q)  # [dx, dy, dz, ray]
     else:
@@ -269,7 +267,7 @@ def voxel_normal_smooth(vol, opts, q: V3, accel=None) -> V3:
             q.y[None, :] + jnp.asarray(_OY5)[:, None],
             q.z[None, :] + jnp.asarray(_OZ5)[:, None],
         )
-        occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, n)  # [dx, dy, dz, ray]
+        occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, q.x.shape[0])
     c = occ[1:4, 1:4, 1:4]
     gx = occ[2:5, 1:4, 1:4] - occ[0:3, 1:4, 1:4]
     gy = occ[1:4, 2:5, 1:4] - occ[1:4, 0:3, 1:4]

@@ -77,6 +77,98 @@ def _tiled_fn(mesh, opts, n_pad):
     return fn
 
 
+def _spp_fn(mesh, opts, n_passes):
+    key = ("spp", mesh, jax.tree_util.tree_structure(opts), n_passes)
+    fn = _TILED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    n_dev = mesh.devices.size
+    blk = n_passes // n_dev
+
+    def shard_body(opts, vol, mc_tables_blk, times_blk, accum0, accel):
+        from ..ops.march import _carry_vma
+
+        k = jax.lax.axis_index(AXIS)
+        # the zero start buffer must carry the shard axis' varying-manual-axes
+        # (the pass scan's carry becomes varying after one step)
+        zero = _carry_vma(jnp.zeros_like(accum0), mc_tables_blk)
+        acc_k = render_mod.render_accum(
+            vol, opts, mc_tables_blk, times_blk, zero, accel=accel
+        )
+        # chip k's local exponential blend from zero weights its passes
+        # (fb)(1-fb)^(blk-1-j); the global blend wants exponent
+        # (n_passes-1) - (k*blk+j) = (blk-1-j) + blk*(n_dev-1-k), so the
+        # shard re-weights by (1-fb)^(blk*(n_dev-1-k)) before the psum.
+        w = (1.0 - opts.frameBlend) ** (
+            jnp.float32(blk) * (n_dev - 1 - k).astype(jnp.float32)
+        )
+        acc = jax.lax.psum(acc_k * w, AXIS)
+        # an incoming accumulation buffer survives all n_passes blends
+        acc = acc + accum0 * (1.0 - opts.frameBlend) ** jnp.float32(n_passes)
+        return acc, render_mod.pack_argb(opts, acc)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS), P(AXIS), P(), P()),
+            out_specs=(P(), P()),
+        )
+    )
+    _TILED_CACHE[key] = fn
+    return fn
+
+
+def render_image_spp_sharded(vol, opts, mc_tables, times=None, accum=None,
+                             mesh=None, accel=None):
+    """Shard the PASS (spp) axis over the mesh (reference pass loop:
+    core.clj:82-90) — the other embarrassingly-parallel axis, complementary
+    to pixel tiling: at high chip counts pixel tiles shrink until band
+    scheduling loses granularity, while pass sharding keeps each chip's
+    per-pass working set at the full frame.
+
+    Exactness: the accumulation is an exponentially-weighted blend with
+    KNOWN weights — pass i of n carries (1/n)*(1-1/n)^(n-1-i)
+    (ops/render.py module docstring) — i.e. a linear combination. Chip k
+    renders passes [k*blk, (k+1)*blk) from a zero buffer and re-weights its
+    local blend by (1-1/n)^(blk*(n_dev-1-k)); the psum of the re-weighted
+    shards equals the sequential blend exactly in real arithmetic. In f32
+    the reassociation moves last ULPs (the sequential blend is a different
+    evaluation order), so parity with render_image is tolerance-tested, not
+    bit-tested (tests/test_parallel.py::test_spp_sharded_matches_sequential).
+
+    Requires n_passes % n_devices == 0. Per-ray math is unchanged: pass
+    identity enters only through `times` and the per-pass MC table, both of
+    which shard along the pass axis.
+
+    Returns (argb (H, W) uint32 ndarray, accum (N, 3) float32 — replicated,
+    feed back in for progressive refinement).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n_passes = mc_tables.shape[0]
+    if n_passes % n_dev != 0:
+        raise ValueError(
+            f"spp sharding needs n_passes ({n_passes}) divisible by the mesh"
+            f" size ({n_dev}); pad the pass axis or use pixel tiling"
+        )
+    if times is None:
+        times = jnp.arange(n_passes, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    if accum is None:
+        accum = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+    rep = NamedSharding(mesh, P())
+    accum = jax.device_put(accum, rep)
+    vol = jax.device_put(jnp.asarray(vol, jnp.uint8).reshape(-1), rep)
+    shard = NamedSharding(mesh, P(AXIS))
+    mc_tables = jax.device_put(mc_tables, shard)
+    times = jax.device_put(times, shard)
+    fn = _spp_fn(mesh, opts, n_passes)
+    accum, argb = fn(opts, vol, mc_tables, times, accum, accel)
+    w, h = opts.resolution
+    return np.asarray(argb).reshape(h, w), accum
+
+
 def render_image_tiled(vol, opts, mc_tables, times=None, accum=None, mesh=None, accel=None):
     """Drop-in tiled equivalent of ops.render.render_image.
 

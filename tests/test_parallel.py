@@ -80,7 +80,7 @@ def test_tiled_progressive_accum(scene):
 
 
 def test_band_tiles_bit_equal(scene):
-    """lax.scan screen-band tiling (ops.render.RENDER_TILES) is bit-equal
+    """lax.scan screen-band tiling (ops.render.TILE_RAYS bands) is bit-equal
     to monolithic rendering."""
     vol, _, tables = scene
     opts = render_options(
@@ -98,6 +98,58 @@ def test_band_tiles_bit_equal(scene):
     rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
     assert (rel.max(axis=1) > 1e-3).mean() < 0.01
     np.testing.assert_allclose(np.median(a, 0), np.median(b, 0), rtol=1e-5)
+
+
+def test_spp_sharded_matches_sequential(scene):
+    """Pass-axis (spp) sharding: 8 chips render disjoint pass ranges from a
+    zero buffer and psum the closed-form re-weighted blends — equals the
+    sequential exponential blend up to f32 reassociation (the weights are
+    exact; only the summation order moves ULPs)."""
+    vol, _, tables = scene
+    opts = render_options(
+        width=40, height=24, vres=[32, 32, 96], iter=8, mat="ao",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    tables8 = sampling.make_mc_tables(8, seed=9)
+    argb_1, accum_1 = render_mod.render_image(vol, opts, tables8)
+    argb_s, accum_s = tiling.render_image_spp_sharded(
+        vol, opts, tables8, mesh=tiling.make_mesh()
+    )
+    np.testing.assert_allclose(
+        np.asarray(accum_s), np.asarray(accum_1), rtol=2e-5, atol=1e-6
+    )
+    # packed bytes may flip only on exact quantization boundaries
+    assert (np.asarray(argb_s) != np.asarray(argb_1)).mean() < 0.01
+
+
+def test_spp_sharded_progressive_accum(scene):
+    """Feeding a previous accum in: the (1-fb)^n carry-through term matches
+    the sequential path."""
+    vol, _, tables = scene
+    opts = render_options(
+        width=40, height=24, vres=[32, 32, 96], iter=8, mat="ao",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    tables8 = sampling.make_mc_tables(8, seed=9)
+    _, accum0 = render_mod.render_image(vol, opts, tables8[:8])
+    _, accum_1 = render_mod.render_image(vol, opts, tables8, accum=accum0)
+    _, accum_s = tiling.render_image_spp_sharded(
+        vol, opts, tables8, accum=accum0, mesh=tiling.make_mesh()
+    )
+    np.testing.assert_allclose(
+        np.asarray(accum_s), np.asarray(accum_1), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_spp_sharded_rejects_indivisible(scene):
+    vol, opts, tables = scene
+    with pytest.raises(ValueError):
+        tiling.render_image_spp_sharded(
+            vol, opts, sampling.make_mc_tables(3, seed=1),
+            mesh=tiling.make_mesh(),
+        )
 
 
 def test_host_slices_identical(scene):

@@ -27,11 +27,12 @@ def table():
     return np.asarray(sampling.generate_scatter_offsets(seed=3))
 
 
-def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.01,
-                vres=(32, 32, 96), **extra_opts):
+def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.005,
+                vres=(32, 32, 96), eyepos=None, targetpos=None, **extra_opts):
     opts = render_options(
         width=w, height=h, vres=list(vres), iter=1, t=t, mat=mat,
-        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+        eyepos=eyepos or compute_eyepos(135.0, 2.25, 0.35),
+        targetpos=targetpos or [0, -0.4, 0],
         **budgets, **extra_opts,
     )
     n = w * h
@@ -114,6 +115,19 @@ def test_parity_dof(vol32, table):
         vol32, table, "metal", 10, 8, 0.999,
         dict(maxIter=48, maxVoxelIter=96, shadowIter=48),
         dof=0.025,
+    )
+
+
+def test_parity_anim_camera(vol32, table):
+    """The animation camera regime (api.test_anim, reference core.clj:192-201):
+    fov=115 — the fov-as-linear-scale quirk (renderer.cl:459) at its extreme
+    — with target y -0.15 and the turntable orbit, at full default budgets
+    over a 32x24 frame (the largest parity case in the suite)."""
+    _run_parity(
+        vol32, table, "ao", 32, 24, 0.3333, {},
+        fov=115.0,
+        eyepos=compute_eyepos(70.0, 2.25, 0.443),
+        targetpos=[0, -0.15, 0],
     )
 
 
