@@ -60,10 +60,15 @@ def check_invariants():
     saved = render_mod.DEFERRED_SHADE
     try:
         render_mod.DEFERRED_SHADE = False
+        # flags are trace-time constants, not jit-key entries: without a
+        # cache clear the flipped render would reuse the old program and
+        # the check would be vacuous (see scripts/tpu_invariants.py)
+        render_mod._render_jit.clear_cache()
         b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
         results["deferred_on_off"] = bool(np.array_equal(np.asarray(ref), np.asarray(b)))
     finally:
         render_mod.DEFERRED_SHADE = saved
+        render_mod._render_jit.clear_cache()
     for name, ok in results.items():
         print(f"  invariant {name}: {'OK' if ok else 'MISMATCH'}",
               file=sys.stderr, flush=True)

@@ -632,6 +632,7 @@ def raymarch(
     truncate_to_max_dist=False,
     want_stats=False,
     want_object=True,
+    cap_rounds=None,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
@@ -677,13 +678,24 @@ def raymarch(
     math — replicating the reference's per-step ops bit-for-bit while
     collapsing the long convergence tail of grazing ground/sky rays.
     Per-ray step counters keep the maxIter budget exact.
+
+    cap_rounds (static int, flat engine only): stop the while_loop after at
+    most cap_rounds rounds and report per-lane `resolved` (= the lane's own
+    state machine reached DONE). A resolved lane's outputs are IDENTICAL to
+    the uncapped march's — lanes are independent in the flat engine, so a
+    band-level exit truncates only unfinished lanes, whose outputs the
+    caller must discard and recompute (the carry-state respill scheduler in
+    ops/render.py re-marches them from scratch in densely packed bands).
     """
     n = ray_pos.x.shape[0]
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
+    if cap_rounds is not None and accel is None:
+        raise ValueError("cap_rounds requires the flat engine (accel)")
     if accel is not None:
         c = _raymarch_flat(
             accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
             truncate_to_max_dist, want_object=want_object,
+            cap_rounds=cap_rounds,
         )
     else:
         c = _raymarch_nested(
@@ -706,6 +718,8 @@ def raymarch(
         isec["rounds"] = c["round"]  # while rounds paid (band worst-ray)
         isec["steps"] = c["s"]  # per-ray sphere steps consumed (useful work)
         isec["apps"] = c.get("apps", c["s"])  # per-lane applications (flat)
+    if cap_rounds is not None:
+        isec["resolved"] = c["mode"] == _M_DONE
     return isec
 
 
@@ -827,7 +841,7 @@ FLAT_GROUND_STEPS = 4
 
 def _raymarch_flat(
     accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
-    truncate_to_max_dist, want_object=True,
+    truncate_to_max_dist, want_object=True, cap_rounds=None,
 ):
     """Flattened scheduling of the sphere trace (see raymarch docstring).
 
@@ -1007,7 +1021,12 @@ def _raymarch_flat(
         return c
 
     def cond(c):
-        return jnp.any(c["mode"] != _M_DONE)
+        live = jnp.any(c["mode"] != _M_DONE)
+        if cap_rounds is not None:
+            # band-level round cap (respill): resolved lanes already carry
+            # their final values; unfinished lanes are truncated and flagged
+            live = live & (c["round"] < cap_rounds)
+        return live
 
     def body(c):
         # fori_loop of a 2x-unrolled step (not full python unrolling) so the

@@ -106,6 +106,22 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None,
 # tests/test_parallel.py); set False if exact CPU reproducibility matters.
 DEFERRED_SHADE = True
 
+# Carry-state respill for the shade phase's shadow marches (the measured
+# 2.3x band overhead vs the 1.22x oracle, PERFORMANCE.md): cap each band's
+# shadow while_loop at RESPILL_CAP rounds; lanes whose own state machine
+# finished carry exact results (flat-engine lanes are independent), the
+# rest are re-marched FROM SCRATCH in densely packed spill bands (all-
+# resolved bands cost one early-exited dispatch). Restart-instead-of-resume
+# keeps the spilled state tiny (the shadow ray params, recomputed
+# elementwise) at the price of <= cap*FLAT_UNROLL wasted applications per
+# spilled lane. Output is bit-equal: resolved lanes' sf values equal the
+# uncapped march's, spilled lanes re-run the identical full-budget march,
+# and the lighting combine re-evaluates the same expressions.
+# Only taken for bounce-free presets (reflectIter == 0) with the accel
+# engine; bounce shadows stay inside the monolithic shade band.
+RESPILL = False
+RESPILL_CAP = 6  # while rounds (x FLAT_UNROLL applications per lane)
+
 
 def _morton10(x, y, z):
     """Interleave 3x10-bit coords -> 30-bit Morton key (int32)."""
@@ -136,6 +152,137 @@ def _maxfilt2d(cost, w, k):
         for dx in range(k):
             out = jnp.maximum(out, pad[dy : dy + a.shape[0], dx : dx + a.shape[1]])
     return out.reshape(-1)
+
+
+def _shade_respill(vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
+                   ipos, idist, iobj, inorm, accel):
+    """Respill-scheduled shade phase for bounce-free presets (see RESPILL).
+
+    B1 (banded): AO + shadow marches with band while_loops capped at
+    RESPILL_CAP rounds; per-lane `resolved` = the lane's own state machine
+    finished (exact result). B2 (spill, banded): lanes permuted by resolved
+    (unresolved first, Morton order preserved within each class), unresolved
+    lanes re-marched from scratch at full budget — all-resolved bands cost
+    one early-exited dispatch. B3 (banded): pure-elementwise lighting
+    combine + atmosphere. Light geometry / glossy normal are recomputed per
+    phase with identical expressions instead of being carried.
+
+    Returns (col V3 of (n,), apps (n,)) in the caller's (sorted) lane order.
+    """
+    from .march import raymarch
+    from .shade import (
+        _mat_gather, ambient_occlusion, apply_atmosphere, light_combine,
+        light_geometry, sky_gradient,
+    )
+    from .vecmath import V3, reflect, where3
+
+    n = px.shape[0]
+    nt = n // tiles
+    L = opts.numLights
+
+    def base(xs):
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+        hit = idist < opts.maxDist  # renderer.cl:415
+        mat_idx = jnp.clip(iobj, 0, 3)
+        albedo, r0, smoothness = _mat_gather(opts, mat_idx)
+        # glossy perturbation, NOT re-normalized (renderer.cl:420)
+        norm_p = inorm + mcn * (1.0 / (smoothness * 200.0 + 5.0))
+        return hit, mat_idx, albedo, r0, smoothness, norm_p
+
+    def band_split(a):
+        return a.reshape((tiles, nt) + a.shape[1:])
+
+    def band_join(a):
+        return a.reshape((n,) + a.shape[2:])
+
+    xs9 = (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm)
+
+    # --- B1: AO + capped shadow marches ---------------------------------
+    def b1(_, xs):
+        hit, _, _, _, _, norm_p = base(xs)
+        (px, py, _, _, rdir, ipos, _, _, _) = xs
+        ao = ambient_occlusion(vol, opts, table_t, ipos, norm_p, hit, accel)
+        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
+        sfs, res = [], []
+        apps = jnp.zeros(px.shape, jnp.int32)
+        for l in lt:
+            isec = raymarch(
+                vol, opts, l["origin"], l["ldir"], l["lmax"], opts.shadowIter,
+                smooth=False, active=l["act"], want_normal=False, accel=accel,
+                truncate_to_max_dist=True, want_stats=True, want_object=False,
+                cap_rounds=RESPILL_CAP,
+            )
+            sfs.append((isec["distance"] >= l["lmax"]).astype(jnp.float32))
+            res.append(isec["resolved"])
+            apps = apps + isec["apps"]
+        return None, (ao, jnp.stack(sfs, 1), jnp.stack(res, 1), apps)
+
+    xs = jax.tree_util.tree_map(band_split, xs9)
+    _, out1 = jax.lax.scan(b1, None, xs)
+    ao, sf1, res1, apps1 = jax.tree_util.tree_map(band_join, out1)
+    # sf1/res1: (n, L)
+
+    # --- B2: dense spill bands, full-budget restart ---------------------
+    all_res = jnp.all(res1, axis=1)
+    spill_perm = jnp.argsort(all_res, stable=True)  # unresolved first
+    unperm = jnp.argsort(spill_perm, stable=True)
+    pick = lambda a: jnp.take(a, spill_perm, axis=0)
+    pick3 = lambda v: V3(pick(v.x), pick(v.y), pick(v.z))
+    xs9p = (pick(px), pick(py), pick3(mcn), pick3(rpos), pick3(rdir),
+            pick3(ipos), pick(idist), pick(iobj), pick3(inorm))
+
+    def b2(_, xs):
+        *xs9b, sf1b, res1b = xs
+        xs9b = tuple(xs9b)
+        hit, _, _, _, _, norm_p = base(xs9b)
+        (px, py, _, _, rdir, ipos, _, _, _) = xs9b
+        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
+        sf_out = []
+        apps = jnp.zeros(px.shape, jnp.int32)
+        for i, l in enumerate(lt):
+            act = l["act"] & ~res1b[:, i]
+            isec = raymarch(
+                vol, opts, l["origin"], l["ldir"], l["lmax"], opts.shadowIter,
+                smooth=False, active=act, want_normal=False, accel=accel,
+                truncate_to_max_dist=True, want_stats=True, want_object=False,
+            )
+            sf2 = (isec["distance"] >= l["lmax"]).astype(jnp.float32)
+            sf_out.append(jnp.where(res1b[:, i], sf1b[:, i], sf2))
+            apps = apps + isec["apps"]
+        return None, (jnp.stack(sf_out, 1), apps)
+
+    xs = jax.tree_util.tree_map(
+        band_split, xs9p + (pick(sf1), pick(res1))
+    )
+    _, out2 = jax.lax.scan(b2, None, xs)
+    sf_p, apps2_p = jax.tree_util.tree_map(band_join, out2)
+    sf = jnp.take(sf_p, unperm, axis=0)  # (n, L), exact uncapped values
+    apps = apps1 + jnp.take(apps2_p, unperm, axis=0)
+
+    # --- B3: elementwise combine + atmosphere ---------------------------
+    def b3(_, xs):
+        *xs9b, aob, sfb = xs
+        xs9b = tuple(xs9b)
+        hit, _, albedo, r0, smoothness, norm_p = base(xs9b)
+        (px, py, _, rpos, rdir, ipos, _, _, _) = xs9b
+        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
+        reflect_col = sky_gradient(opts, reflect(rdir, norm_p))
+        lit = light_combine(
+            opts, rdir, norm_p, albedo, r0, smoothness, reflect_col, aob, lt,
+            [sfb[:, i] for i in range(L)],
+        )
+        sky = sky_gradient(opts, rdir)
+        col = where3(hit, lit, sky)
+        idistb = xs9b[6]
+        col = apply_atmosphere(
+            opts, table_t, px, py, rpos, rdir, idistb, col
+        )
+        return None, col
+
+    xs = jax.tree_util.tree_map(band_split, xs9 + (ao, sf))
+    _, col = jax.lax.scan(b3, None, xs)
+    col = jax.tree_util.tree_map(band_join, col)
+    return col, apps
 
 
 def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
@@ -214,24 +361,30 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
 
     # --- phase B: per-band shading (scene_color minus the primary march,
     # incl. the bounce loop for reflective presets) ----------------------
-    def shade_band(_, xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
-        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
-                "normal": inorm}
-        return None, shade_after_march(
-            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
-            want_stats=stats,
+    if RESPILL and opts.reflectIter == 0 and accel is not None:
+        col, apps_b = _shade_respill(
+            vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
+            ipos, idist, iobj, inorm, accel,
         )
+    else:
+        def shade_band(_, xs):
+            (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+            isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                    "normal": inorm}
+            return None, shade_after_march(
+                vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
+                want_stats=stats,
+            )
 
-    xs = jax.tree_util.tree_map(
-        lambda a: a.reshape((tiles, nt) + a.shape[1:]),
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
-    )
-    _, col = jax.lax.scan(shade_band, None, xs)
-    if stats:
-        col, apps_b = col
-        apps_b = apps_b.reshape(n)
-    col = jax.tree_util.tree_map(lambda a: a.reshape(n), col)
+        xs = jax.tree_util.tree_map(
+            lambda a: a.reshape((tiles, nt) + a.shape[1:]),
+            (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
+        )
+        _, col = jax.lax.scan(shade_band, None, xs)
+        if stats:
+            col, apps_b = col
+            apps_b = apps_b.reshape(n)
+        col = jax.tree_util.tree_map(lambda a: a.reshape(n), col)
 
     # --- unsort + blend -------------------------------------------------
     col_a = (col * opts.exposure).to_array()

@@ -161,20 +161,13 @@ def _mat_gather(opts, mat_idx):
     return alb, r0, smoothness
 
 
-def object_lighting(
-    vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
-    reflect_col: V3, active, accel=None, want_stats=False,
-):
-    """Direct lighting of a surface point (reference: renderer.cl:348-381).
-
-    mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
-    want_stats: also return summed secondary-march applications (the cost
-    signal for cost-sorted shade bands, ops/render.py).
-    """
-    albedo, r0, smoothness = _mat_gather(opts, mat_idx)
-    apps = jnp.zeros_like(mat_idx)
-
-    # Per-light geometry, shared by both march paths.
+def light_geometry(opts, table_t, px, py, isec_pos: V3, ray_dir: V3,
+                   normal: V3, active):
+    """Per-light shadow-ray geometry (reference: renderer.cl:263-269,
+    359-366) — pure elementwise math, shared by the monolithic lighting
+    path and the respill scheduler (ops/render.py), which recomputes it
+    per phase instead of carrying ~7 arrays per light across phases
+    (identical expressions => identical values)."""
     lt = []
     for i in range(opts.numLights):
         delta = light_pos_jittered(opts, table_t, px, py, i) - isec_pos
@@ -187,7 +180,7 @@ def object_lighting(
         # gain, which multiplies the Lambert and Blinn-Phong terms — both
         # provably zero when ndotl <= 0 AND nh <= 0 (the where() floors in
         # diffuse_intensity / blinn_phong_intensity), so such lanes render
-        # identically with no march. (Same expressions as the loop below;
+        # identically with no march. (Same expressions as the combine loop;
         # NaN nh — ldir == ray_dir — yields 0 intensity on both sides.)
         relevant = (dot(ldir, normal) > 0.0) | (
             dot(normalize(ldir - ray_dir), normal) > 0.0
@@ -197,26 +190,13 @@ def object_lighting(
             origin=isec_pos + ldir * opts.shadowBias,
             act=active & in_range & relevant,
         ))
+    return lt
 
-    # NOTE (measured negative result, v5e): merging all AO probes + shadow
-    # sphere-traces into ONE per-lane state machine (so a band pays
-    # max-over-lanes of TOTAL secondary work instead of summed per-phase
-    # maxima) was built, verified bit-equal on TPU, and measured ~8% SLOWER
-    # at every band size — per-phase costs CORRELATE across lanes (glancing
-    # geometry is expensive in every phase), so max(sum) ~= sum(max) and
-    # the machine's phase-select overhead wins. Kept sequential.
-    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
-    sfs = []
-    for l in lt:
-        sf = shadow(
-            vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
-            accel, want_stats=want_stats,
-        )
-        if want_stats:
-            sf, sh_apps = sf
-            apps = apps + sh_apps
-        sfs.append(sf)
 
+def light_combine(opts, ray_dir: V3, normal: V3, albedo, r0, smoothness,
+                  reflect_col: V3, ao, lt, sfs) -> V3:
+    """Post-shadow lighting combine (reference: renderer.cl:368-381) —
+    pure elementwise; sfs are the per-light shadow factors."""
     diff = sky_gradient(opts, normal) * ao
     spec = reflect_col * ao
     final = V3.const((0.0, 0.0, 0.0), like=ao)
@@ -237,7 +217,46 @@ def object_lighting(
         )
         diff = diff * albedo  # QUIRK: per-light albedo (renderer.cl:376)
         final = final + mix(diff, spec, fresnel)
-    out = final * (1.0 / _F32(opts.numLights))
+    return final * (1.0 / _F32(opts.numLights))
+
+
+def object_lighting(
+    vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
+    reflect_col: V3, active, accel=None, want_stats=False,
+):
+    """Direct lighting of a surface point (reference: renderer.cl:348-381).
+
+    mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
+    want_stats: also return summed secondary-march applications (the cost
+    signal for cost-sorted shade bands, ops/render.py).
+    """
+    albedo, r0, smoothness = _mat_gather(opts, mat_idx)
+    apps = jnp.zeros_like(mat_idx)
+
+    lt = light_geometry(opts, table_t, px, py, isec_pos, ray_dir, normal, active)
+
+    # NOTE (measured negative result, v5e): merging all AO probes + shadow
+    # sphere-traces into ONE per-lane state machine (so a band pays
+    # max-over-lanes of TOTAL secondary work instead of summed per-phase
+    # maxima) was built, verified bit-equal on TPU, and measured ~8% SLOWER
+    # at every band size — per-phase costs CORRELATE across lanes (glancing
+    # geometry is expensive in every phase), so max(sum) ~= sum(max) and
+    # the machine's phase-select overhead wins. Kept sequential.
+    ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
+    sfs = []
+    for l in lt:
+        sf = shadow(
+            vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
+            accel, want_stats=want_stats,
+        )
+        if want_stats:
+            sf, sh_apps = sf
+            apps = apps + sh_apps
+        sfs.append(sf)
+
+    out = light_combine(
+        opts, ray_dir, normal, albedo, r0, smoothness, reflect_col, ao, lt, sfs
+    )
     if want_stats:
         return out, apps
     return out

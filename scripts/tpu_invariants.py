@@ -74,28 +74,56 @@ def main():
         a, _ = render_mod.render_image(vol, opts, tables, accel=None)
         record("accel_on_off", ref, a)
 
+    # Module-level scheduling flags (DEFERRED_SHADE / TILE_RAYS / RESPILL)
+    # are read at TRACE time and are NOT part of the jit key: flipping one
+    # without clearing the jit cache silently reuses the old program and the
+    # comparison is vacuous (measured: zero retraces without clear_cache —
+    # which means the round-2 recorded runs of deferred_on_off and
+    # band_tiling_on_off compared a program against itself; both invariants
+    # re-verified genuinely after this fix).
+    def flag_flip(**flags):
+        saved = {k: getattr(render_mod, k) for k in flags}
+        for k, v in flags.items():
+            setattr(render_mod, k, v)
+        render_mod._render_jit.clear_cache()
+        return saved
+
     if run_inv("deferred_on_off"):
-        saved = render_mod.DEFERRED_SHADE
+        saved = flag_flip(DEFERRED_SHADE=False)
         try:
-            render_mod.DEFERRED_SHADE = False
             b, _ = render_mod.render_image(vol, opts, tables, accel=accel)
             record("deferred_on_off", ref, b)
         finally:
-            render_mod.DEFERRED_SHADE = saved
+            flag_flip(**saved)
 
     if run_inv("band_tiling_on_off"):
-        saved_tiles = render_mod.TILE_RAYS
+        saved = flag_flip(TILE_RAYS=opts.num_pixels + 1)  # forces tiles=1
         try:
-            render_mod.TILE_RAYS = opts.num_pixels + 1  # forces tiles=1
             c, _ = render_mod.render_image(vol, opts, tables, accel=accel)
             record("band_tiling_on_off", ref, c)
         finally:
-            render_mod.TILE_RAYS = saved_tiles
+            flag_flip(**saved)
 
     if run_inv("host_slices_1_vs_4"):
         d, _ = render_mod.render_image(vol, opts, tables, accel=accel,
                                        host_slices=4)
         record("host_slices_1_vs_4", ref, d)
+
+    if run_inv("respill_on_off"):
+        # the respill scheduler only engages for bounce-free presets; use ao
+        opts_ao = render_options(
+            width=args.size, height=args.size, vres=list(vres), iter=args.spp,
+            mat="ao", eyepos=compute_eyepos(135.0, 2.25, 0.35),
+            targetpos=[0, -0.4, 0],
+        )
+        saved = flag_flip(RESPILL=False)
+        try:
+            e0, _ = render_mod.render_image(vol, opts_ao, tables, accel=accel)
+            flag_flip(RESPILL=True)
+            e1, _ = render_mod.render_image(vol, opts_ao, tables, accel=accel)
+            record("respill_on_off", e0, e1)
+        finally:
+            flag_flip(**saved)
 
     ok = all(results.values())
     print(

@@ -399,6 +399,83 @@ def test_banded_march_integer_exact(scene):
         np.testing.assert_allclose(d1, d4, rtol=1e-6, atol=2e-6)
 
 
+def test_respill_shade_matches(scene):
+    """Respill-scheduled shade phase (render.RESPILL: capped shadow bands +
+    dense spill restart + elementwise combine) vs the monolithic shade band.
+    Exact by construction on TPU (resolved lanes' sf values equal the
+    uncapped march's; spilled lanes re-run the identical march; the combine
+    re-evaluates identical expressions) — and measured bit-exact on XLA:CPU
+    for this scene too; asserted with the standard CPU drift allowance in
+    case XLA:CPU codegen context-dependence returns."""
+    vol, _, _, _ = scene
+    opts = render_options(
+        width=64, height=48, vres=[32, 32, 96], iter=3, mat="ao",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    acc = accel_mod.build_accel(
+        generators.make_gyroid_volume({"vres": [32, 32, 96]}),
+        opts.voxelRes, opts.isoVal,
+    )
+    assert render_mod.auto_tiles(opts.num_pixels) > 1  # deferred path active
+    assert opts.reflectIter == 0  # respill only covers bounce-free presets
+    tables = make_mc_tables(3, seed=7)
+    times = jnp.arange(3, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+    saved = render_mod.RESPILL
+    try:
+        render_mod.RESPILL = False
+        a = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
+        )
+        render_mod.RESPILL = True
+        for cap in (1, 6):
+            render_mod.RESPILL_CAP = cap
+            b = np.asarray(
+                render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
+            )
+            rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
+            assert (rel.max(axis=1) > 1e-3).mean() < 0.01, f"cap={cap}"
+    finally:
+        render_mod.RESPILL = saved
+
+
+def test_capped_raymarch_resolved_lanes_exact(scene):
+    """cap_rounds semantics: resolved lanes' outputs are bit-identical to
+    the uncapped march (lane independence in the flat engine), and a
+    full-budget restart reproduces capped-away lanes exactly."""
+    vol, _, opts, acc = scene
+    rng = np.random.default_rng(13)
+    n = 256
+    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    pv = V3.from_array(jnp.asarray(rp))
+    dv = V3.from_array(jnp.asarray(rd))
+    act = jnp.ones((n,), bool)
+    kw = dict(smooth=False, want_normal=False, accel=acc)
+    full = march.raymarch(
+        vol, opts, pv, dv, opts.maxDist, opts.maxIter, active=act, **kw
+    )
+    capped = march.raymarch(
+        vol, opts, pv, dv, opts.maxDist, opts.maxIter, active=act,
+        cap_rounds=2, **kw,
+    )
+    res = np.asarray(capped["resolved"])
+    assert res.any() and not res.all()  # the cap actually bites
+    np.testing.assert_array_equal(
+        np.asarray(capped["distance"])[res], np.asarray(full["distance"])[res]
+    )
+    # restart of unresolved lanes at full budget == uncapped
+    redo = march.raymarch(
+        vol, opts, pv, dv, opts.maxDist, opts.maxIter,
+        active=jnp.asarray(~res), **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(redo["distance"])[~res], np.asarray(full["distance"])[~res]
+    )
+
+
 def test_cost_sorted_accum_matches_sequential(scene):
     """The cost-sorted multi-pass path in render_accum (prev_cost carry,
     max-filtered band sort, perm_total unsort, decaying-max cost update) vs

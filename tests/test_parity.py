@@ -31,8 +31,8 @@ def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.005,
                 vres=(32, 32, 96), eyepos=None, targetpos=None, **extra_opts):
     opts = render_options(
         width=w, height=h, vres=list(vres), iter=1, t=t, mat=mat,
-        eyepos=eyepos or compute_eyepos(135.0, 2.25, 0.35),
-        targetpos=targetpos or [0, -0.4, 0],
+        eyepos=compute_eyepos(135.0, 2.25, 0.35) if eyepos is None else eyepos,
+        targetpos=[0, -0.4, 0] if targetpos is None else targetpos,
         **budgets, **extra_opts,
     )
     n = w * h
