@@ -696,6 +696,13 @@ def raymarch(
             accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
             truncate_to_max_dist, want_object=want_object,
             cap_rounds=cap_rounds,
+            # shadow configuration (no normals, no material): drop the
+            # write-only carry arrays and their per-application updates —
+            # XLA cannot dead-code-eliminate while_loop carries, so unused
+            # outputs cost real vector work in every application. The march
+            # event sequence and the distance evolution are untouched =>
+            # `distance` (and apps/resolved) bit-equal to the full carry.
+            lean=(not want_normal) and (not want_object),
         )
     else:
         c = _raymarch_nested(
@@ -841,7 +848,7 @@ FLAT_GROUND_STEPS = 4
 
 def _raymarch_flat(
     accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
-    truncate_to_max_dist, want_object=True, cap_rounds=None,
+    truncate_to_max_dist, want_object=True, cap_rounds=None, lean=False,
 ):
     """Flattened scheduling of the sphere trace (see raymarch docstring).
 
@@ -949,7 +956,7 @@ def _raymarch_flat(
             c["p0"].y + delta.y * kf,
             c["p0"].z + delta.z * kf,
         )
-        qc = voxel_coord(opts, p)
+        qc = None if lean else voxel_coord(opts, p)
 
         # scene-distance resolution + sphere bookkeeping for lanes whose
         # march just ended and for BOOK lanes (ground-term-only rounds)
@@ -970,25 +977,27 @@ def _raymarch_flat(
         done = (jnp.abs(sd_d) <= opts.eps) | (c["dist"] >= max_dist)
         s = jnp.where(be, c["s"] + 1, c["s"])
         fin = done | (s >= max_steps)
-        return {
+        out = {
             **c,
             "mode": jnp.where(
                 be, jnp.where(fin, _I32(_M_DONE), _I32(_M_SETUP)), c["mode"]
             ),
             "s": s,
-            "dist_prev": jnp.where(be, c["dist"], c["dist_prev"]),
             "dist": jnp.where(be & ~done, c["dist"] + sd_d, c["dist"]),
-            "obj": jnp.where(be, res_m.astype(_I32), c["obj"]),
-            "ovox": jnp.where(be, m_hit & take1, c["ovox"]),
-            "hit": jnp.where(be, m_hit, c["hit"]),
-            "q": V3(
+            "k": jnp.where(ev["cont"], ev["k_next"], c["k"]),
+        }
+        if not lean:  # write-only outputs (normals/material/pos consumers)
+            out["dist_prev"] = jnp.where(be, c["dist"], c["dist_prev"])
+            out["obj"] = jnp.where(be, res_m.astype(_I32), c["obj"])
+            out["ovox"] = jnp.where(be, m_hit & take1, c["ovox"])
+            out["hit"] = jnp.where(be, m_hit, c["hit"])
+            out["q"] = V3(
                 jnp.where(be, qc.x, c["q"].x),
                 jnp.where(be, qc.y, c["q"].y),
                 jnp.where(be, qc.z, c["q"].z),
-            ),
-            "gd": jnp.where(be, gd, c["gd"]),
-            "k": jnp.where(ev["cont"], ev["k_next"], c["k"]),
-        }
+            )
+            out["gd"] = jnp.where(be, gd, c["gd"])
+        return out
 
     def _ground(c):
         # python-unrolled: each ground step is ~50 fused elementwise ops —
@@ -1003,7 +1012,7 @@ def _raymarch_flat(
             done = (jnp.abs(res_d) <= opts.eps) | (c["dist"] >= max_dist)
             s = jnp.where(a, c["s"] + 1, c["s"])
             fin = done | (s >= max_steps)
-            c = {
+            nc = {
                 **c,
                 "mode": jnp.where(
                     exit_,
@@ -1011,13 +1020,15 @@ def _raymarch_flat(
                     jnp.where(a & fin, _I32(_M_DONE), c["mode"]),
                 ),
                 "s": s,
-                "dist_prev": jnp.where(a, c["dist"], c["dist_prev"]),
                 "dist": jnp.where(a & ~done, c["dist"] + res_d, c["dist"]),
-                "obj": jnp.where(a, res_m.astype(_I32), c["obj"]),
-                "ovox": jnp.where(a, False, c["ovox"]),
-                "hit": jnp.where(a, False, c["hit"]),
-                "gd": jnp.where(a, gd, c["gd"]),
             }
+            if not lean:  # write-only outputs
+                nc["dist_prev"] = jnp.where(a, c["dist"], c["dist_prev"])
+                nc["obj"] = jnp.where(a, res_m.astype(_I32), c["obj"])
+                nc["ovox"] = jnp.where(a, False, c["ovox"])
+                nc["hit"] = jnp.where(a, False, c["hit"])
+                nc["gd"] = jnp.where(a, gd, c["gd"])
+            c = nc
         return c
 
     def cond(c):
@@ -1060,21 +1071,33 @@ def _raymarch_flat(
         "apps": zi,  # per-lane state-machine applications consumed
         "s": zi,
         "dist": jnp.broadcast_to(opts.startDist, (n,)).astype(_F32),
-        # position of the last processed sphere round = ray_pos + dir *
-        # dist_prev (the nested path carries the position itself; carrying
-        # the scalar and recomputing with the identical expression is
-        # bit-equal and 3x smaller)
-        "dist_prev": zf,
-        "obj": zi,
-        "ovox": jnp.zeros((n,), bool),  # last event's material is voxel-won
-        "hit": jnp.zeros((n,), bool),
-        "q": V3(zi, zi, zi),
-        "gd": zf,
         "k": zi,
         "cap": zi,
         "p0": V3(zf, zf, zf),
     }
+    if not lean:
+        carry.update({
+            # position of the last processed sphere round = ray_pos + dir *
+            # dist_prev (the nested path carries the position itself;
+            # carrying the scalar and recomputing with the identical
+            # expression is bit-equal and 3x smaller)
+            "dist_prev": zf,
+            "obj": zi,
+            "ovox": jnp.zeros((n,), bool),  # last event's mat is voxel-won
+            "hit": jnp.zeros((n,), bool),
+            "q": V3(zi, zi, zi),
+            "gd": zf,
+        })
     c = jax.lax.while_loop(cond, body, _carry_vma(carry, ray_pos.x))
+    if lean:
+        # placeholders for the write-only outputs the lean carry dropped;
+        # lean callers (shadow) consume only `distance` (+ apps/resolved)
+        c["dist_prev"] = c["dist"]
+        c["obj"] = zi
+        c["ovox"] = jnp.zeros((n,), bool)
+        c["hit"] = jnp.zeros((n,), bool)
+        c["q"] = V3(zi, zi, zi)
+        c["gd"] = zf
     c["pos"] = ray_pos + ray_dir * c["dist_prev"]
     if want_object:
         # deferred hit material: one element fetch per ray (see

@@ -34,8 +34,13 @@ TIME_STEP_ANIM = 0.3333
 # a horizontal band are coherent (sky bands exit immediately, geometry bands
 # share march depth), so scanning bands trades no accuracy (per-ray math is
 # identical => bit-equal on TPU) for a large cut in wasted gather lanes.
-# Band size ~TILE_RAYS was the sweep optimum on v5e (scripts/tune.py).
-TILE_RAYS = 1024
+# Band size: 1024 was the round-1 optimum PRE-cost-sorting; the round-3
+# sweep under the sorted regime (scripts/bench_tileray_sweep.py, 512^2/4spp
+# ao, v5e) measured 512: 2.93s, 1024: 2.25s, 2048: 1.97s, 4096: 1.97s,
+# 8192: 2.00s, 16384: 2.23s — sorted bands are internally coherent enough
+# that fewer/bigger bands win until ~8k; 2048 sits on the plateau and keeps
+# band-count granularity for smaller frames.
+TILE_RAYS = 2048
 MAX_TILES = 256
 
 
@@ -158,36 +163,30 @@ def _shade_respill(vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
                    ipos, idist, iobj, inorm, accel):
     """Respill-scheduled shade phase for bounce-free presets (see RESPILL).
 
-    B1 (banded): AO + shadow marches with band while_loops capped at
-    RESPILL_CAP rounds; per-lane `resolved` = the lane's own state machine
-    finished (exact result). B2 (spill, banded): lanes permuted by resolved
-    (unresolved first, Morton order preserved within each class), unresolved
-    lanes re-marched from scratch at full budget — all-resolved bands cost
-    one early-exited dispatch. B3 (banded): pure-elementwise lighting
-    combine + atmosphere. Light geometry / glossy normal are recomputed per
-    phase with identical expressions instead of being carried.
+    B1 (banded): the ordinary monolithic shade band (AO + lighting +
+    atmosphere) but with the shadow-march while_loops capped at RESPILL_CAP
+    rounds; per-lane `resolved` = every shadow march's own state machine
+    finished, so the lane's color is exact (flat-engine lane independence).
+    B2 (spill, banded): lanes permuted by resolved (unresolved first,
+    Morton order preserved within each class); unresolved lanes re-shaded
+    wholesale at full budget — all-resolved bands cost early-exited
+    dispatches. Restart-instead-of-resume re-pays the AO probes and
+    <= cap*FLAT_UNROLL shadow applications for spilled lanes, in exchange
+    for carrying zero extra state between phases.
+
+    (v1 of this scheduler split shade into three phases — capped-shadow,
+    spill, elementwise combine — carrying ao/sf across phases: measured
+    18% SLOWER than baseline at 512^2/4spp ao on v5e, cap-insensitive, i.e.
+    pure phase/permutation overhead. v2 folds the cap into the existing
+    band and only adds the spill scan.)
 
     Returns (col V3 of (n,), apps (n,)) in the caller's (sorted) lane order.
     """
-    from .march import raymarch
-    from .shade import (
-        _mat_gather, ambient_occlusion, apply_atmosphere, light_combine,
-        light_geometry, sky_gradient,
-    )
-    from .vecmath import V3, reflect, where3
+    from .shade import shade_after_march
+    from .vecmath import V3, where3
 
     n = px.shape[0]
     nt = n // tiles
-    L = opts.numLights
-
-    def base(xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
-        hit = idist < opts.maxDist  # renderer.cl:415
-        mat_idx = jnp.clip(iobj, 0, 3)
-        albedo, r0, smoothness = _mat_gather(opts, mat_idx)
-        # glossy perturbation, NOT re-normalized (renderer.cl:420)
-        norm_p = inorm + mcn * (1.0 / (smoothness * 200.0 + 5.0))
-        return hit, mat_idx, albedo, r0, smoothness, norm_p
 
     def band_split(a):
         return a.reshape((tiles, nt) + a.shape[1:])
@@ -197,91 +196,49 @@ def _shade_respill(vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
 
     xs9 = (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm)
 
-    # --- B1: AO + capped shadow marches ---------------------------------
+    # --- B1: monolithic shade bands, shadow marches capped --------------
     def b1(_, xs):
-        hit, _, _, _, _, norm_p = base(xs)
-        (px, py, _, _, rdir, ipos, _, _, _) = xs
-        ao = ambient_occlusion(vol, opts, table_t, ipos, norm_p, hit, accel)
-        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
-        sfs, res = [], []
-        apps = jnp.zeros(px.shape, jnp.int32)
-        for l in lt:
-            isec = raymarch(
-                vol, opts, l["origin"], l["ldir"], l["lmax"], opts.shadowIter,
-                smooth=False, active=l["act"], want_normal=False, accel=accel,
-                truncate_to_max_dist=True, want_stats=True, want_object=False,
-                cap_rounds=RESPILL_CAP,
-            )
-            sfs.append((isec["distance"] >= l["lmax"]).astype(jnp.float32))
-            res.append(isec["resolved"])
-            apps = apps + isec["apps"]
-        return None, (ao, jnp.stack(sfs, 1), jnp.stack(res, 1), apps)
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                "normal": inorm}
+        col, resolved, apps = shade_after_march(
+            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
+            want_stats=True, cap_rounds=RESPILL_CAP,
+        )
+        return None, (col, resolved, apps)
 
-    xs = jax.tree_util.tree_map(band_split, xs9)
-    _, out1 = jax.lax.scan(b1, None, xs)
-    ao, sf1, res1, apps1 = jax.tree_util.tree_map(band_join, out1)
-    # sf1/res1: (n, L)
+    _, out1 = jax.tree_util.tree_map(
+        band_join, jax.lax.scan(b1, None, jax.tree_util.tree_map(band_split, xs9))
+    )
+    col1, res1, apps1 = out1
 
-    # --- B2: dense spill bands, full-budget restart ---------------------
-    all_res = jnp.all(res1, axis=1)
-    spill_perm = jnp.argsort(all_res, stable=True)  # unresolved first
+    # --- B2: dense spill bands, full-budget re-shade --------------------
+    spill_perm = jnp.argsort(res1, stable=True)  # unresolved first
     unperm = jnp.argsort(spill_perm, stable=True)
     pick = lambda a: jnp.take(a, spill_perm, axis=0)
     pick3 = lambda v: V3(pick(v.x), pick(v.y), pick(v.z))
-    xs9p = (pick(px), pick(py), pick3(mcn), pick3(rpos), pick3(rdir),
-            pick3(ipos), pick(idist), pick(iobj), pick3(inorm))
+    xs10p = (pick(px), pick(py), pick3(mcn), pick3(rpos), pick3(rdir),
+             pick3(ipos), pick(idist), pick(iobj), pick3(inorm), pick(res1))
 
     def b2(_, xs):
-        *xs9b, sf1b, res1b = xs
-        xs9b = tuple(xs9b)
-        hit, _, _, _, _, norm_p = base(xs9b)
-        (px, py, _, _, rdir, ipos, _, _, _) = xs9b
-        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
-        sf_out = []
-        apps = jnp.zeros(px.shape, jnp.int32)
-        for i, l in enumerate(lt):
-            act = l["act"] & ~res1b[:, i]
-            isec = raymarch(
-                vol, opts, l["origin"], l["ldir"], l["lmax"], opts.shadowIter,
-                smooth=False, active=act, want_normal=False, accel=accel,
-                truncate_to_max_dist=True, want_stats=True, want_object=False,
-            )
-            sf2 = (isec["distance"] >= l["lmax"]).astype(jnp.float32)
-            sf_out.append(jnp.where(res1b[:, i], sf1b[:, i], sf2))
-            apps = apps + isec["apps"]
-        return None, (jnp.stack(sf_out, 1), apps)
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, resb) = xs
+        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                "normal": inorm}
+        col, apps = shade_after_march(
+            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
+            want_stats=True, active=~resb,
+        )
+        return None, (col, apps)
 
-    xs = jax.tree_util.tree_map(
-        band_split, xs9p + (pick(sf1), pick(res1))
+    _, out2 = jax.tree_util.tree_map(
+        band_join,
+        jax.lax.scan(b2, None, jax.tree_util.tree_map(band_split, xs10p)),
     )
-    _, out2 = jax.lax.scan(b2, None, xs)
-    sf_p, apps2_p = jax.tree_util.tree_map(band_join, out2)
-    sf = jnp.take(sf_p, unperm, axis=0)  # (n, L), exact uncapped values
-    apps = apps1 + jnp.take(apps2_p, unperm, axis=0)
-
-    # --- B3: elementwise combine + atmosphere ---------------------------
-    def b3(_, xs):
-        *xs9b, aob, sfb = xs
-        xs9b = tuple(xs9b)
-        hit, _, albedo, r0, smoothness, norm_p = base(xs9b)
-        (px, py, _, rpos, rdir, ipos, _, _, _) = xs9b
-        lt = light_geometry(opts, table_t, px, py, ipos, rdir, norm_p, hit)
-        reflect_col = sky_gradient(opts, reflect(rdir, norm_p))
-        lit = light_combine(
-            opts, rdir, norm_p, albedo, r0, smoothness, reflect_col, aob, lt,
-            [sfb[:, i] for i in range(L)],
-        )
-        sky = sky_gradient(opts, rdir)
-        col = where3(hit, lit, sky)
-        idistb = xs9b[6]
-        col = apply_atmosphere(
-            opts, table_t, px, py, rpos, rdir, idistb, col
-        )
-        return None, col
-
-    xs = jax.tree_util.tree_map(band_split, xs9 + (ao, sf))
-    _, col = jax.lax.scan(b3, None, xs)
-    col = jax.tree_util.tree_map(band_join, col)
+    col2_p, apps2_p = out2
+    unpick = lambda a: jnp.take(a, unperm, axis=0)
+    col2 = V3(unpick(col2_p.x), unpick(col2_p.y), unpick(col2_p.z))
+    col = where3(res1, col1, col2)
+    apps = apps1 + unpick(apps2_p)
     return col, apps
 
 

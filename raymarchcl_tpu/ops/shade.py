@@ -68,20 +68,26 @@ def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist,
 
 
 def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None,
-           want_stats=False):
+           want_stats=False, cap_rounds=None):
     """Hard shadow: full re-raymarch toward the light, 0/1 result
     (reference: renderer.cl:292-301). Skips normal computation entirely.
     want_stats additionally returns per-ray march applications (cost input
-    for the cost-sorted shade bands, ops/render.py)."""
+    for the cost-sorted shade bands, ops/render.py). cap_rounds (respill,
+    see ops/render.RESPILL) additionally returns per-lane `resolved`; an
+    unresolved lane's sf is garbage and must be recomputed by the caller."""
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False, accel=accel,
         truncate_to_max_dist=True, want_stats=want_stats, want_object=False,
+        cap_rounds=cap_rounds,
     )
     sf = (isec["distance"] >= light_max_dist).astype(_F32)
+    out = (sf,)
     if want_stats:
-        return sf, isec["apps"]
-    return sf
+        out = out + (isec["apps"],)
+    if cap_rounds is not None:
+        out = out + (isec["resolved"],)
+    return out if len(out) > 1 else sf
 
 
 def schlick(r0, smoothness, normal: V3, view: V3):
@@ -222,13 +228,17 @@ def light_combine(opts, ray_dir: V3, normal: V3, albedo, r0, smoothness,
 
 def object_lighting(
     vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
-    reflect_col: V3, active, accel=None, want_stats=False,
+    reflect_col: V3, active, accel=None, want_stats=False, cap_rounds=None,
 ):
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
     mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
     want_stats: also return summed secondary-march applications (the cost
     signal for cost-sorted shade bands, ops/render.py).
+    cap_rounds (respill, ops/render.RESPILL): cap the shadow-march band
+    while_loops and ALSO return per-lane `resolved` (= every light's shadow
+    march finished); unresolved lanes' colors are garbage and must be
+    recomputed by the caller at full budget.
     """
     albedo, r0, smoothness = _mat_gather(opts, mat_idx)
     apps = jnp.zeros_like(mat_idx)
@@ -244,22 +254,33 @@ def object_lighting(
     # the machine's phase-select overhead wins. Kept sequential.
     ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     sfs = []
+    resolved = None
     for l in lt:
-        sf = shadow(
+        ret = shadow(
             vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
-            accel, want_stats=want_stats,
+            accel, want_stats=want_stats, cap_rounds=cap_rounds,
         )
+        if not isinstance(ret, tuple):
+            ret = (ret,)
+        sfs.append(ret[0])
+        i = 1
         if want_stats:
-            sf, sh_apps = sf
-            apps = apps + sh_apps
-        sfs.append(sf)
+            apps = apps + ret[i]
+            i += 1
+        if cap_rounds is not None:
+            resolved = ret[i] if resolved is None else (resolved & ret[i])
+    if cap_rounds is not None and resolved is None:  # numLights == 0
+        resolved = jnp.ones(ray_dir.x.shape, bool)
 
     out = light_combine(
         opts, ray_dir, normal, albedo, r0, smoothness, reflect_col, ao, lt, sfs
     )
+    extras = ()
+    if cap_rounds is not None:
+        extras = extras + (resolved,)
     if want_stats:
-        return out, apps
-    return out
+        extras = extras + (apps,)
+    return (out,) + extras if extras else out
 
 
 def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3,
@@ -309,7 +330,7 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3, accel=None)
 
 def shade_after_march(
     vol, opts, table_t, px, py, mc_normal: V3, ray_pos: V3, ray_dir: V3,
-    isec, accel=None, want_stats=False,
+    isec, accel=None, want_stats=False, cap_rounds=None, active=None,
 ):
     """Everything in sceneColor after the primary raymarch
     (renderer.cl:414-445): glossy normal, bounce loop / sky reflection,
@@ -318,17 +339,27 @@ def shade_after_march(
 
     want_stats: also return the summed march applications of every
     secondary raymarch (shadows + bounces) — the cost signal the deferred
-    pipeline feeds back into the next pass's band sort."""
+    pipeline feeds back into the next pass's band sort.
+
+    Respill hooks (ops/render.RESPILL; bounce-free presets only):
+    cap_rounds caps the shadow-march band while_loops and adds a per-lane
+    `resolved` to the return (unresolved lanes' colors are garbage, to be
+    recomputed); `active` restricts the secondary marches to a lane subset
+    (the spill phase's unresolved lanes) — inactive lanes' colors are
+    garbage. Return order: (col[, resolved][, apps])."""
+    if cap_rounds is not None and opts.reflectIter > 0:
+        raise ValueError("respill cap covers bounce-free presets only")
     apps = jnp.zeros(ray_dir.x.shape, jnp.int32)
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
+    shade_act = hit if active is None else (hit & active)
     mat_idx = jnp.clip(isec["object_id"], 0, 3)
     _, r0, smoothness = _mat_gather(opts, mat_idx)
     # glossy perturbation, NOT re-normalized (renderer.cl:420)
     norm_p = isec["normal"] + mc_normal * (1.0 / (smoothness * 200.0 + 5.0))
 
     if opts.reflectIter > 0:
-        b_active = hit & (r0 > 0.0)
+        b_active = shade_act & (r0 > 0.0)
         acc = V3.const((0.0, 0.0, 0.0), like=r0)
         r_dir = ray_dir
         r_pos = isec["pos"]
@@ -357,17 +388,28 @@ def shade_after_march(
     else:
         reflect_col = sky_gradient(opts, reflect(ray_dir, norm_p))
 
-    lit = object_lighting(
+    ret = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
-        norm_p, reflect_col, hit, accel, want_stats=want_stats,
+        norm_p, reflect_col, shade_act, accel, want_stats=want_stats,
+        cap_rounds=cap_rounds,
     )
+    if isinstance(ret, V3):  # V3 is a NamedTuple — don't unpack it
+        ret = (ret,)
+    lit = ret[0]
+    i = 1
+    resolved = None
+    if cap_rounds is not None:
+        resolved = ret[i]
+        i += 1
     if want_stats:
-        lit, l_apps = lit
-        apps = apps + l_apps
+        apps = apps + ret[i]
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
         opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
+    out = (col,)
+    if cap_rounds is not None:
+        out = out + (resolved,)
     if want_stats:
-        return col, apps
-    return col
+        out = out + (apps,)
+    return out if len(out) > 1 else col

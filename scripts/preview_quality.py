@@ -62,20 +62,48 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    import jax.numpy as jnp
+
     from raymarchcl_tpu import api
+    from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+    from raymarchcl_tpu.ops.sampling import make_mc_tables
+    from raymarchcl_tpu.options import render_options
+
+    # volume + accel built ONCE: the timing below is the render only (the
+    # API path rebuilds the accel per call — ~1 s of host numpy at vres 256
+    # — which is amortized across an interactive session and must not
+    # pollute the preview-vs-full comparison)
+    volume, vres3 = api.default_volume((args.vres,) * 3)
+    base_kw = dict(
+        width=args.size, height=args.size, vres=list(vres3), mat=args.mat,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    vol = jnp.asarray(volume, jnp.uint8).reshape(-1)
 
     def render(preview, iter, tag):
-        # warm-up compile, then timed run (fetch-timed; see PERFORMANCE.md)
-        kw = dict(
-            width=args.size, height=args.size, iter=iter, vres=args.vres,
-            mat=args.mat, out_path=None, verbose=False, preview=preview,
-        )
-        api.test_render(seed=1, **kw)
+        kw = dict(base_kw)
+        if preview:
+            merged, iter = api.preview_overrides({}, iter)
+            kw.update(merged)
+        opts = render_options(iter=iter, **kw)
+        accel = api.build_accel_for(volume, opts)
+        tables = make_mc_tables(iter, seed=0)
+        times = jnp.arange(iter, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+
+        def go(eps):
+            argb, _ = render_mod._render_jit(
+                vol, opts, tables, times + eps,
+                jnp.zeros((opts.num_pixels, 3), jnp.float32), accel,
+            )
+            return np.asarray(argb)
+
+        go(jnp.float32(0.0))  # compile
         t0 = time.perf_counter()
-        argb = api.test_render(seed=0, **kw)
+        argb = go(jnp.float32(1e-7))
         dt = time.perf_counter() - t0
-        print(f"  {tag}: {dt:.3f}s")
-        return np.asarray(argb), dt
+        print(f"  {tag}: {dt:.3f}s", flush=True)
+        return argb.reshape(args.size, args.size), dt
 
     full, t_full = render(False, args.spp, f"full ({args.spp} spp, ref budgets)")
     prev, t_prev = render(True, 1, "preview (1 spp, quarter budgets)")

@@ -409,7 +409,7 @@ def test_respill_shade_matches(scene):
     case XLA:CPU codegen context-dependence returns."""
     vol, _, _, _ = scene
     opts = render_options(
-        width=64, height=48, vres=[32, 32, 96], iter=3, mat="ao",
+        width=128, height=48, vres=[32, 32, 96], iter=3, mat="ao",
         maxIter=24, maxVoxelIter=48, shadowIter=24,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
@@ -479,13 +479,14 @@ def test_capped_raymarch_resolved_lanes_exact(scene):
 def test_cost_sorted_accum_matches_sequential(scene):
     """The cost-sorted multi-pass path in render_accum (prev_cost carry,
     max-filtered band sort, perm_total unsort, decaying-max cost update) vs
-    sequential single-pass renders. >= 2048 pixels so auto_tiles > 1 and the
-    cost path is actually taken; iter=3 so passes 2-3 render cost-sorted.
+    sequential single-pass renders. >= 2*TILE_RAYS pixels so auto_tiles > 1
+    and the cost path is actually taken; iter=3 so passes 2-3 render
+    cost-sorted.
     Tolerance-based on CPU (FMA contraction — advisor measured max rel
     1.4e-7 pure drift); bit-equal on TPU (scripts/tpu_invariants.py)."""
     vol, _, _, acc = scene
     opts = render_options(
-        width=64, height=48, vres=[32, 32, 96], iter=3, mat="ao",
+        width=128, height=48, vres=[32, 32, 96], iter=3, mat="ao",
         maxIter=24, maxVoxelIter=48, shadowIter=24,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
