@@ -37,10 +37,11 @@ TIME_STEP_ANIM = 0.3333
 # Band size: 1024 was the round-1 optimum PRE-cost-sorting; the round-3
 # sweep under the sorted regime (scripts/bench_tileray_sweep.py, 512^2/4spp
 # ao, v5e) measured 512: 2.93s, 1024: 2.25s, 2048: 1.97s, 4096: 1.97s,
-# 8192: 2.00s, 16384: 2.23s — sorted bands are internally coherent enough
-# that fewer/bigger bands win until ~8k; 2048 sits on the plateau and keeps
-# band-count granularity for smaller frames.
-TILE_RAYS = 2048
+# 8192: 2.00s, 16384: 2.23s. The 4-spp sweep ties 2048/4096, but at the
+# full 16-spp headline the decaying-max predictor has more history and
+# bigger sorted bands win outright: 2048: 7.06s, 4096: 6.79s, 8192: 7.05s
+# (A/B, same protocol as bench.py, v5e) — hence 4096.
+TILE_RAYS = 4096
 MAX_TILES = 256
 
 

@@ -409,7 +409,7 @@ def test_respill_shade_matches(scene):
     case XLA:CPU codegen context-dependence returns."""
     vol, _, _, _ = scene
     opts = render_options(
-        width=128, height=48, vres=[32, 32, 96], iter=3, mat="ao",
+        width=256, height=48, vres=[32, 32, 96], iter=3, mat="ao",
         maxIter=24, maxVoxelIter=48, shadowIter=24,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
@@ -486,7 +486,7 @@ def test_cost_sorted_accum_matches_sequential(scene):
     1.4e-7 pure drift); bit-equal on TPU (scripts/tpu_invariants.py)."""
     vol, _, _, acc = scene
     opts = render_options(
-        width=128, height=48, vres=[32, 32, 96], iter=3, mat="ao",
+        width=256, height=48, vres=[32, 32, 96], iter=3, mat="ao",
         maxIter=24, maxVoxelIter=48, shadowIter=24,
         eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
     )
