@@ -404,11 +404,27 @@ def _gather_rows(accel_rows, accel_mxu, bid, n_words):
     return jnp.take(accel_rows, bid, axis=0, mode="clip")
 
 
+def _probe_landing(opts, p0: V3, delta: V3, k):
+    """Landing-sample coordinates of one brick application: integer voxel
+    coord validity, brick coords and brick row id (0 where invalid)."""
+    from .accel import brick_dims
+
+    nbx, nby, _ = brick_dims(opts.voxelRes)
+    kf = k.astype(_F32)
+    p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
+    q = voxel_coord(opts, p)
+    valid, _ = _bounds_and_index(opts, q)
+    bx, by, bz = q.x >> 3, q.y >> 3, q.z >> 3
+    bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
+    return valid, bx, by, bz, bid
+
+
 def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
     """One brick application of the fixed-step march (see ops/accel.py).
 
     Gathers the landing sample's brick row (ONE row gather — the march's
-    only memory access), then resolves the lane with pure vector ops:
+    only memory access), then resolves the lane with pure vector ops
+    (_probe_resolve):
 
     * landing out-of-bounds -> break (ends, no hit);
     * brick distance D >= 2 -> the landing is provably not a hit and the
@@ -431,20 +447,30 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
       dead   — lane finished by budget exhaustion (no stop recorded)
       cont   — lane continues next application at k_next (< cap)
       k_next — next landing for cont lanes
+      bid    — landing brick identity (-2 where out of grid)
+      rows   — the gathered (N, ROW_WORDS) rows (brick-cache carry source)
     """
-    from .accel import BRICK_SUBSTEPS, DIST_W, SKIP_SLACK, STOP_W0, brick_dims
-
-    nbx, nby, _ = brick_dims(opts.voxelRes)
-    n = k.shape[0]
-    kf = k.astype(_F32)
-    p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
-    q = voxel_coord(opts, p)
-    valid, _ = _bounds_and_index(opts, q)
-    bx, by, bz = q.x >> 3, q.y >> 3, q.z >> 3
-    bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
     from .accel import ROW_WORDS
 
+    valid, bx, by, bz, bid = _probe_landing(opts, p0, delta, k)
     rows = _gather_rows(accel.rows, accel.rows_mxu, bid, ROW_WORDS)  # (N, 18)
+    ev = _probe_resolve(
+        opts, rows, p0, delta, k, act, cap, inv_vps, valid, bx, by, bz
+    )
+    ev["bid"] = jnp.where(valid, bid, -2)
+    ev["rows"] = rows
+    return ev
+
+
+def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
+                   valid, bx, by, bz):
+    """Row-content half of a brick application (see _brick_probe): given
+    the landing's brick row — gathered, or a lane's cached copy whose
+    cbid == the landing bid (identical content, accel.rows is immutable) —
+    resolve skip/substep/stop events with pure vector ops."""
+    from .accel import BRICK_SUBSTEPS, DIST_W, SKIP_SLACK, STOP_W0
+
+    n = k.shape[0]
 
     d_equiv = 8.0 * rows[:, DIST_W].astype(_F32) - 7.0
     # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
@@ -845,6 +871,31 @@ _M_DONE, _M_SETUP, _M_MARCH, _M_GROUND, _M_BOOK = 0, 1, 2, 3, 4
 FLAT_UNROLL = 8
 FLAT_GROUND_STEPS = 4
 
+# Diagnostic (scripts/audit_brick_cache.py): when True, the flat engine's
+# per-lane `apps` counter counts only FRESH gather-probes — march
+# applications whose landing brick differs from the lane's previously
+# gathered brick. Successive sphere-trace rounds re-probe the stop brick,
+# so fresh-probe counts are the per-lane application floor of a
+# hypothetical engine that carries the last gathered row and retires
+# cached-brick rounds without a new gather. Audit-only: render outputs are
+# unchanged (apps is a pure diagnostic), but the cost-sort keys shift, so
+# leave False in production.
+APPS_FRESH = False
+
+# Brick-cache fast rounds (the engine the APPS_FRESH oracle bounds): carry
+# each lane's last gathered brick row (crow/cbid); every application first
+# runs CACHE_FAST_ROUNDS gather-free rounds in which lanes whose landing
+# brick == cbid resolve substeps/skips against the carried row (identical
+# content — accel.rows is immutable — so identical events) with full
+# sphere bookkeeping + re-setup in between, THEN the ordinary gathered
+# probe. Sphere-trace convergence rounds land in the brick the previous
+# segment stopped in, so they retire in fast rounds and the lane reaches
+# DONE in fewer applications => fewer band while-rounds => fewer gathers.
+# Grouping-only: per-lane event sequences and float math are unchanged
+# (bit-equal; tests/test_accel.py::test_brick_cache_bit_equal).
+BRICK_CACHE = False
+CACHE_FAST_ROUNDS = 2
+
 
 def _raymarch_flat(
     accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
@@ -941,12 +992,13 @@ def _raymarch_flat(
             "p0": where3(m, p0, c["p0"]),
         }
 
-    def _march_and_book(c):
-        in_march = c["mode"] == _M_MARCH
-        ev = _brick_probe(
-            opts, accel, c["p0"], delta, c["k"], in_march, c["cap"], inv_vps
-        )
-        march_end = in_march & ~ev["cont"]  # stop (hit/break) or budget out
+    def _book(c, ev, attempted):
+        """March-event bookkeeping shared by the gathered probe and the
+        brick-cache fast rounds: sphere-round resolution for lanes whose
+        march segment just ended (attempted & ~cont) and for BOOK-mode
+        lanes (ground-term-only rounds), k-advance for cont lanes. `ev`
+        may come from either row source — identical content either way."""
+        march_end = attempted & ~ev["cont"]  # stop (hit/break) or budget out
         m_hit = ev["hit"]
 
         # stop-sample position/voxel (same f32 expression as the probe's)
@@ -999,6 +1051,36 @@ def _raymarch_flat(
             out["gd"] = jnp.where(be, gd, c["gd"])
         return out
 
+    def _march_and_book(c):
+        in_march = c["mode"] == _M_MARCH
+        ev = _brick_probe(
+            opts, accel, c["p0"], delta, c["k"], in_march, c["cap"], inv_vps
+        )
+        out = _book(c, ev, in_march)
+        if APPS_FRESH:  # diagnostic: count only fresh-brick gather probes
+            fresh = in_march & (ev["bid"] != c["lbid"])
+            out["apps"] = c["apps"] + fresh.astype(_I32)
+            out["lbid"] = jnp.where(in_march, ev["bid"], c["lbid"])
+        if BRICK_CACHE:  # stage the gathered row for the fast rounds
+            cacheable = in_march & (ev["bid"] >= 0)
+            out["crow"] = jnp.where(cacheable[:, None], ev["rows"], c["crow"])
+            out["cbid"] = jnp.where(cacheable, ev["bid"], c["cbid"])
+        return out
+
+    def _cached_march_and_book(c):
+        """One gather-free fast round (see BRICK_CACHE): lanes whose
+        landing brick is the carried one (or whose landing is out of grid —
+        the break event reads no row) resolve against crow; every other
+        lane passes through untouched and probes in the gathered round."""
+        in_march = c["mode"] == _M_MARCH
+        valid, bx, by, bz, bid = _probe_landing(opts, c["p0"], delta, c["k"])
+        use = in_march & (~valid | (bid == c["cbid"]))
+        ev = _probe_resolve(
+            opts, c["crow"], c["p0"], delta, c["k"], use, c["cap"], inv_vps,
+            valid, bx, by, bz,
+        )
+        return _book(c, ev, use)
+
     def _ground(c):
         # python-unrolled: each ground step is ~50 fused elementwise ops —
         # cheap to compile, while loop-carrying them would pay per-iteration
@@ -1049,8 +1131,13 @@ def _raymarch_flat(
         # scheduling.
         def two(_, c):
             for _ in range(2):
-                c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
+                if not APPS_FRESH:  # APPS_FRESH counts in _march_and_book
+                    c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
                 c = _setup(c)
+                if BRICK_CACHE:  # gather-free rounds against the carried row
+                    for _ in range(CACHE_FAST_ROUNDS):
+                        c = _cached_march_and_book(c)
+                        c = _setup(c)
                 c = _march_and_book(c)
                 c = _ground(c)
             return c
@@ -1075,6 +1162,13 @@ def _raymarch_flat(
         "cap": zi,
         "p0": V3(zf, zf, zf),
     }
+    if APPS_FRESH:  # last gathered brick id (diagnostic, see flag)
+        carry["lbid"] = jnp.full((n,), -1, _I32)
+    if BRICK_CACHE:  # carried last-gathered row; cbid=-1 matches no brick
+        from .accel import ROW_WORDS
+
+        carry["crow"] = jnp.zeros((n, ROW_WORDS), jnp.uint32)
+        carry["cbid"] = jnp.full((n,), -1, _I32)
     if not lean:
         carry.update({
             # position of the last processed sphere round = ray_pos + dir *

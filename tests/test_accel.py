@@ -168,6 +168,59 @@ def test_raymarch_bit_equal(scene):
     )
 
 
+def test_brick_cache_bit_equal(scene):
+    """Brick-cache fast rounds (march.BRICK_CACHE): identical per-lane
+    event sequences and float math, so raymarch outputs must be EXACTLY
+    equal to the cache-off flat engine on every backend — for the full
+    carry, the lean shadow configuration, and both fast-round counts."""
+    vol, _, opts, acc = scene
+    rng = np.random.default_rng(17)
+    n = 256
+    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    pv = V3.from_array(jnp.asarray(rp))
+    dv = V3.from_array(jnp.asarray(rd))
+    act = jnp.ones((n,), bool)
+    lmax = jnp.asarray(rng.uniform(0.5, 3.0, n).astype(np.float32))
+
+    def full():
+        return march.raymarch(
+            vol, opts, pv, dv, opts.maxDist, opts.maxIter, True, act,
+            accel=acc, want_stats=True,
+        )
+
+    def lean_shadow():
+        return march.raymarch(
+            vol, opts, pv, dv, lmax, opts.shadowIter, False, act,
+            want_normal=False, accel=acc, truncate_to_max_dist=True,
+            want_object=False, want_stats=True,
+        )
+
+    assert march.BRICK_CACHE is False  # production default
+    base_f, base_s = full(), lean_shadow()
+    try:
+        for fast in (1, 2):
+            march.BRICK_CACHE = True
+            march.CACHE_FAST_ROUNDS = fast
+            cf, cs = full(), lean_shadow()
+            for k in ("distance", "object_id"):
+                np.testing.assert_array_equal(np.asarray(base_f[k]), np.asarray(cf[k]))
+            np.testing.assert_array_equal(
+                np.asarray(base_f["normal"].to_array()),
+                np.asarray(cf["normal"].to_array()),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(base_s["distance"]), np.asarray(cs["distance"])
+            )
+            # the cache only removes applications, never adds them
+            assert int(np.asarray(cf["apps"]).sum()) <= int(np.asarray(base_f["apps"]).sum())
+            assert int(np.asarray(cs["apps"]).sum()) <= int(np.asarray(base_s["apps"]).sum())
+    finally:
+        march.BRICK_CACHE = False
+        march.CACHE_FAST_ROUNDS = 2
+
+
 def test_march_volume_bit_equal_with_caps(scene):
     """march_volume parity incl. the max_k / max_k_dyn truncation paths."""
     vol, _, opts, acc = scene
