@@ -227,19 +227,16 @@ def _occ5_superbrick(accel, opts, q: V3):
 
     u0x = (q.x & 7).astype(jnp.uint32)  # window coord of q-2 per axis
     u0y, u0z = q.y & 7, q.z & 7
-    iota = jnp.arange(NRM_ROW_WORDS, dtype=_I32)[None, :]
     occ = [[[None] * 5 for _ in range(5)] for _ in range(5)]  # [dx][dy][dz]
     for k in range(5):  # dz offset
         for j in range(5):  # dy offset
             base = ((u0z + k) * 12 + (u0y + j)) * 12 + u0x.astype(_I32)
             w1 = base >> 5
             sh = (base & 31).astype(jnp.uint32)
-            word1 = jnp.sum(
-                jnp.where(iota == w1[:, None], row, jnp.uint32(0)), axis=1
-            )
-            word2 = jnp.sum(
-                jnp.where(iota == (w1 + 1)[:, None], row, jnp.uint32(0)), axis=1
-            )
+            # w1 <= 53, w1+1 <= 54 = NRM_ROW_WORDS: the tree's zero padding
+            # reproduces the one-hot empty sum for the boundary word
+            word1 = _word_at(row, w1)
+            word2 = _word_at(row, w1 + 1)
             hi = jnp.where(
                 sh > jnp.uint32(0), word2 << (jnp.uint32(32) - sh), jnp.uint32(0)
             )
@@ -378,6 +375,47 @@ def march_volume(
     return hit, hit_k
 
 
+# Word extraction from a (N, W) row by per-lane index: binary select tree
+# (log2(W) halving selects) vs the (N, W)-broadcast one-hot compare+sum.
+# Both are exact u32 selects of the same word. MEASURED DEAD on v5e
+# (scripts/bench_word_select.py: headline 6.81 s -> 17.88 s, bit-equal):
+# ops on (N, W<=128) cost the same as on (N,) — the last dim rides the
+# 128-lane axis — so the one-hot's 3 wide ops beat the tree's ~15 narrow
+# dependent selects. While-body cost on this platform scales with OP
+# COUNT / serial depth, not operand width. Keep False.
+WORD_SELECT_TREE = False
+
+
+def _select_word(words, idx):
+    """words: (N, W) uint32, idx: (N,) int32 in [0, W') — returns
+    words[lane, idx[lane]] as (N,) uint32, 0 where idx >= W (matching the
+    one-hot formulation's empty sum). Pure selects — exact."""
+    n, w = words.shape
+    p = 1
+    while p < w:
+        p *= 2
+    if p != w:
+        words = jnp.concatenate(
+            [words, jnp.zeros((n, p - w), words.dtype)], axis=1
+        )
+    while p > 1:
+        h = p // 2
+        hi_bit = (idx & h) != 0
+        words = jnp.where(hi_bit[:, None], words[:, h:p], words[:, :h])
+        p = h
+    return words[:, 0]
+
+
+def _word_at(words, idx):
+    """Dispatch: tree select or the one-hot compare+sum (identical values)."""
+    if WORD_SELECT_TREE:
+        return _select_word(words, idx)
+    iota = jnp.arange(words.shape[1], dtype=_I32)[None, :]
+    return jnp.sum(
+        jnp.where(iota == idx[:, None], words, jnp.uint32(0)), axis=1
+    )
+
+
 def _mxu_rows(table_mxu, bid, n_words):
     """Row gather as a one-hot matmul on the MXU (EXACT — see
     accel.ONEHOT_MAX_ROWS): onehot(bid) @ byte_planes, then reassemble
@@ -478,7 +516,6 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
     skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
 
     stopw = rows[:, STOP_W0:DIST_W]  # (N, 16)
-    iota16 = jnp.arange(16, dtype=_I32)[None, :]
 
     brk = act & ~valid  # landing itself out of grid
     hit = jnp.zeros((n,), bool)
@@ -495,9 +532,7 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         in_b = ki < cap
         same = vi & ((qi.x >> 3) == bx) & ((qi.y >> 3) == by) & ((qi.z >> 3) == bz)
         li = ((qi.z & 7) * 8 + (qi.y & 7)) * 8 + (qi.x & 7)
-        word = jnp.sum(
-            jnp.where(iota16 == (li >> 5)[:, None], stopw, jnp.uint32(0)), axis=1
-        )
+        word = _word_at(stopw, li >> 5)
         bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
         ev_dead = pend & ~in_b
         ev_brk = pend & in_b & ~vi
@@ -896,6 +931,16 @@ APPS_FRESH = False
 BRICK_CACHE = False
 CACHE_FAST_ROUNDS = 2
 
+# Branch-gated state-machine blocks: wrap each application block (setup /
+# march+book / ground) in lax.cond on "any lane is in this mode", skipping
+# the block's ops when the whole band is elsewhere. While-body cost here
+# scales with op count (brick-cache + word-select A/Bs, PERFORMANCE.md),
+# and cost-sorted bands are mode-homogeneous — a geometry band never pays
+# the ~200-op ground block, a sky band never pays the probe. Bit-equal by
+# construction: a skipped block is one whose masked version would have
+# written nothing (all wheres False).
+COND_GATES = False
+
 
 def _raymarch_flat(
     accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
@@ -1129,17 +1174,30 @@ def _raymarch_flat(
         # 1-step fori body paid ~10% runtime in loop overhead. Step
         # application is idempotent for DONE lanes, so trip count is pure
         # scheduling.
+        def gate(pred, fn, c):
+            return jax.lax.cond(pred, fn, lambda x: x, c)
+
         def two(_, c):
             for _ in range(2):
                 if not APPS_FRESH:  # APPS_FRESH counts in _march_and_book
                     c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
-                c = _setup(c)
+                if COND_GATES:
+                    c = gate(jnp.any(c["mode"] == _M_SETUP), _setup, c)
+                else:
+                    c = _setup(c)
                 if BRICK_CACHE:  # gather-free rounds against the carried row
                     for _ in range(CACHE_FAST_ROUNDS):
                         c = _cached_march_and_book(c)
                         c = _setup(c)
-                c = _march_and_book(c)
-                c = _ground(c)
+                if COND_GATES:
+                    c = gate(
+                        jnp.any((c["mode"] == _M_MARCH) | (c["mode"] == _M_BOOK)),
+                        _march_and_book, c,
+                    )
+                    c = gate(jnp.any(c["mode"] == _M_GROUND), _ground, c)
+                else:
+                    c = _march_and_book(c)
+                    c = _ground(c)
             return c
 
         c = jax.lax.fori_loop(0, FLAT_UNROLL // 2, two, c)

@@ -8,6 +8,8 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   2. screen-band scan tiling (tiles=1 vs auto)
   3. Morton-sorted deferred shading on/off
   4. host_slices=1 vs 4
+  5. brick-cache fast rounds on/off (march.BRICK_CACHE)
+  6. carry-state respill on/off (render.RESPILL; bounce-free preset)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -108,6 +110,20 @@ def main():
         d, _ = render_mod.render_image(vol, opts, tables, accel=accel,
                                        host_slices=4)
         record("host_slices_1_vs_4", ref, d)
+
+    if run_inv("brick_cache_on_off"):
+        # march-module flag (same trace-time caveat as the render flags)
+        from raymarchcl_tpu.ops import march as march_mod
+
+        saved_bc = march_mod.BRICK_CACHE
+        try:
+            march_mod.BRICK_CACHE = True
+            render_mod._render_jit.clear_cache()
+            f, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("brick_cache_on_off", ref, f)
+        finally:
+            march_mod.BRICK_CACHE = saved_bc
+            render_mod._render_jit.clear_cache()
 
     if run_inv("respill_on_off"):
         # the respill scheduler only engages for bounce-free presets; use ao
