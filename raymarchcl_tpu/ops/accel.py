@@ -9,15 +9,17 @@ memory access is not a voxel but a BRICK: one gather stages an entire
 8^3-voxel occupancy neighborhood, and the following probe steps against it
 are pure vector ops.
 
-Row layout — (NB, 18) uint32 per 8^3 brick, brick id (bz*NBY + by)*NBX + bx,
-local bit index L = ((lz*8 + ly)*8 + lx):
+Row layout — (NB, ROW_WORDS) uint32 per BRICK^3 brick (edge configurable
+via set_brick(), default 8), brick id (bz*NBY + by)*NBX + bx, local bit
+index L = ((lz*BRICK + ly)*BRICK + lx):
 
-  words [0:16)   STOP bitplane: bit L set <=> the voxel stops the march
-                 (value > isoVal), with out-of-grid padding voxels set
-  word 16        brick-level Chebyshev distance D (in bricks, capped 255)
-                 to the nearest brick containing a STOP bit, with
-                 outside-the-grid counting as stopping
-  word 17        zero padding (even word count)
+  words [0:DIST_W)  STOP bitplane (BRICK^3 bits): bit L set <=> the voxel
+                    stops the march (value > isoVal), with out-of-grid
+                    padding voxels set
+  word DIST_W       brick-level Chebyshev distance D (in bricks, capped
+                    255) to the nearest brick containing a STOP bit, with
+                    outside-the-grid counting as stopping
+  word DIST_W+1     zero padding (even word count)
 
 Rows deliberately carry NO material information: random row gathers pay
 roughly per-byte above 64 B on this platform (64 B rows gather ~2x faster
@@ -55,10 +57,32 @@ from flax import struct
 
 _I32 = jnp.int32
 
-BRICK = 8  # voxels per brick axis
-ROW_WORDS = 18
-STOP_W0, DIST_W = 0, 16
+BRICK = 8  # voxels per brick axis (power of two; switch via set_brick())
+BRICK_SHIFT = 3  # log2(BRICK)
+BRICK_MASK = 7  # BRICK - 1
+STOP_W0 = 0
+DIST_W = 16  # BRICK^3 / 32 STOP words precede the distance word
+ROW_WORDS = 18  # DIST_W + distance word + pad to even
+NRM_BRICK = 8  # smooth-normal window grid stride — FIXED (12^3 windows
+#                cover [q-2, q+2]^3 for any q in an 8^3 cell), independent
+#                of the march BRICK so set_brick() never touches normals
 NRM_ROW_WORDS = 56  # 12^3 bits = 54 words, padded to even
+
+
+def set_brick(n: int):
+    """Switch the march brick edge (4/8/16/32). Build-time AND trace-time:
+    callers must rebuild accel tables and clear render jit caches after.
+    The march contracts hold at any edge B with d_equiv = B*D - (B-1)
+    (two voxels in bricks at brick-Chebyshev D are at voxel-Chebyshev
+    >= B*D - (B-1)); per-sample semantics are edge-independent, so any
+    edge is bit-equal to the plain march (tests/test_accel.py)."""
+    global BRICK, BRICK_SHIFT, BRICK_MASK, DIST_W, ROW_WORDS
+    assert n in (4, 8, 16, 32), n
+    BRICK = n
+    BRICK_SHIFT = n.bit_length() - 1
+    BRICK_MASK = n - 1
+    DIST_W = n**3 // 32
+    ROW_WORDS = DIST_W + 2
 
 # Tables at or below this row count also carry a byte-plane f32 copy so
 # row gathers can run as one-hot matmuls ON THE MXU instead of XLA's
@@ -114,6 +138,12 @@ def brick_dims(voxel_res):
     return -(-rx // BRICK), -(-ry // BRICK), -(-rz // BRICK)
 
 
+def nrm_dims(voxel_res):
+    """(NNX, NNY, NNZ) smooth-normal window-grid dims (fixed 8-stride)."""
+    rx, ry, rz = int(voxel_res[0]), int(voxel_res[1]), int(voxel_res[2])
+    return -(-rx // NRM_BRICK), -(-ry // NRM_BRICK), -(-rz // NRM_BRICK)
+
+
 def chebyshev_from_mask(stop_3d):
     """Exact Chebyshev distance to {mask} U {outside}, capped at 255.
 
@@ -149,12 +179,12 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
     stop = np.ones((nbz * BRICK, nby * BRICK, nbx * BRICK), bool)
     stop[:rz, :ry, :rx] = v > iso_val
 
-    sb = _brickify(stop, nbx, nby, nbz)  # (NB, 512) bool
+    sb = _brickify(stop, nbx, nby, nbz)  # (NB, BRICK^3) bool
     occw = (
         np.packbits(sb, axis=1, bitorder="little")
         .view("<u4")
         .astype(np.uint32)
-    )  # (NB, 16)
+    )  # (NB, DIST_W)
 
     brick_stop = sb.any(axis=1).reshape(nbz, nby, nbx)
     dist = chebyshev_from_mask(brick_stop).reshape(-1).astype(np.uint32)
@@ -164,21 +194,22 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
     rows[:, STOP_W0:DIST_W] = occw
     rows[:, DIST_W] = dist
 
-    # 12^3 occupancy windows at brick stride over an EXPANDED
-    # (+1-brick-ring) grid (see Accel.nrm_rows): ring windows serve
+    # 12^3 occupancy windows at NRM_BRICK(=8) stride over an EXPANDED
+    # (+1-cell-ring) grid (see Accel.nrm_rows): ring windows serve
     # neighborhoods of out-of-grid voxel coords that straddle back into
-    # the grid. Pad the brick-multiple grid by 10 zero voxels per side
-    # (ring brick origin 8*(-1) - 2 = -10; out-of-grid occupancy is 0),
-    # slide a 12^3 window at stride 8.
-    ge = np.zeros(stop.shape, bool)
-    ge[:rz, :ry, :rx] = v >= iso_val
+    # the grid. Pad the 8-multiple grid by 10 zero voxels per side
+    # (ring cell origin 8*(-1) - 2 = -10; out-of-grid occupancy is 0),
+    # slide a 12^3 window at stride 8. The window grid is independent of
+    # the march BRICK (set_brick never changes normals).
+    nnx, nny, nnz = nrm_dims(voxel_res)
     gep = np.zeros(
-        (nbz * BRICK + 20, nby * BRICK + 20, nbx * BRICK + 20), bool
+        (nnz * NRM_BRICK + 20, nny * NRM_BRICK + 20, nnx * NRM_BRICK + 20),
+        bool,
     )
-    gep[10:-10, 10:-10, 10:-10] = ge
+    gep[10 : 10 + rz, 10 : 10 + ry, 10 : 10 + rx] = v >= iso_val
     win = np.lib.stride_tricks.sliding_window_view(gep, (12, 12, 12))[
-        ::BRICK, ::BRICK, ::BRICK
-    ].reshape((nbz + 2) * (nby + 2) * (nbx + 2), 12 * 12 * 12)
+        ::NRM_BRICK, ::NRM_BRICK, ::NRM_BRICK
+    ].reshape((nnz + 2) * (nny + 2) * (nnx + 2), 12 * 12 * 12)
     nrm = np.zeros((win.shape[0], NRM_ROW_WORDS * 4), np.uint8)
     nrm[:, : (12 ** 3 + 7) // 8] = np.packbits(win, axis=1, bitorder="little")
     nrm = nrm.view("<u4").astype(np.uint32)
@@ -190,7 +221,12 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
             t.astype("<u4").view(np.uint8).astype(np.float32)
         )
 
-    rows_mxu = byte_planes(rows) if nb <= ONEHOT_MAX_ROWS else None
+    # MXU one-hot gate: cap the onehot matmul's MAC budget at the tuned
+    # 8^3 point (4096 rows x 18 words); wider rows (set_brick) shrink the
+    # allowed table proportionally
+    rows_mxu = (
+        byte_planes(rows) if nb * ROW_WORDS <= ONEHOT_MAX_ROWS * 18 else None
+    )
     nrm_mxu = byte_planes(nrm) if nrm.shape[0] <= ONEHOT_MAX_ROWS else None
     return Accel(
         rows=jnp.asarray(rows), nrm_rows=jnp.asarray(nrm),

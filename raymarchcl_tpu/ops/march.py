@@ -212,9 +212,10 @@ def _occ5_superbrick(accel, opts, q: V3):
     voxels outside still resolves its (possibly grid-straddling)
     neighborhood exactly; farther q gets an all-zero row — also exact
     (every neighborhood voxel is out-of-grid, occupancy 0)."""
-    from .accel import NRM_ROW_WORDS, brick_dims
+    from .accel import NRM_ROW_WORDS, nrm_dims
 
-    nbx, nby, nbz = brick_dims(opts.voxelRes)
+    # fixed 8-stride window grid, independent of the march BRICK
+    nbx, nby, nbz = nrm_dims(opts.voxelRes)
     ex, ey, ez = (q.x >> 3) + 1, (q.y >> 3) + 1, (q.z >> 3) + 1
     inb = (
         (ex >= 0) & (ex < nbx + 2)
@@ -445,14 +446,14 @@ def _gather_rows(accel_rows, accel_mxu, bid, n_words):
 def _probe_landing(opts, p0: V3, delta: V3, k):
     """Landing-sample coordinates of one brick application: integer voxel
     coord validity, brick coords and brick row id (0 where invalid)."""
-    from .accel import brick_dims
+    from .accel import BRICK_SHIFT, brick_dims
 
     nbx, nby, _ = brick_dims(opts.voxelRes)
     kf = k.astype(_F32)
     p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, p)
     valid, _ = _bounds_and_index(opts, q)
-    bx, by, bz = q.x >> 3, q.y >> 3, q.z >> 3
+    bx, by, bz = q.x >> BRICK_SHIFT, q.y >> BRICK_SHIFT, q.z >> BRICK_SHIFT
     bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
     return valid, bx, by, bz, bid
 
@@ -506,11 +507,16 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
     the landing's brick row — gathered, or a lane's cached copy whose
     cbid == the landing bid (identical content, accel.rows is immutable) —
     resolve skip/substep/stop events with pure vector ops."""
-    from .accel import BRICK_SUBSTEPS, DIST_W, SKIP_SLACK, STOP_W0
+    from .accel import (
+        BRICK, BRICK_MASK, BRICK_SHIFT, BRICK_SUBSTEPS, DIST_W, SKIP_SLACK,
+        STOP_W0,
+    )
 
     n = k.shape[0]
 
-    d_equiv = 8.0 * rows[:, DIST_W].astype(_F32) - 7.0
+    # two voxels in bricks at brick-Chebyshev D are at voxel-Chebyshev
+    # >= BRICK*D - (BRICK-1)
+    d_equiv = float(BRICK) * rows[:, DIST_W].astype(_F32) - float(BRICK - 1)
     # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
     # degenerate rays; 2^30 steps is "past any budget" either way)
     skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
@@ -530,8 +536,15 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         qi = voxel_coord(opts, pi)
         vi, _ = _bounds_and_index(opts, qi)
         in_b = ki < cap
-        same = vi & ((qi.x >> 3) == bx) & ((qi.y >> 3) == by) & ((qi.z >> 3) == bz)
-        li = ((qi.z & 7) * 8 + (qi.y & 7)) * 8 + (qi.x & 7)
+        same = (
+            vi
+            & ((qi.x >> BRICK_SHIFT) == bx)
+            & ((qi.y >> BRICK_SHIFT) == by)
+            & ((qi.z >> BRICK_SHIFT) == bz)
+        )
+        li = (
+            (qi.z & BRICK_MASK) * BRICK + (qi.y & BRICK_MASK)
+        ) * BRICK + (qi.x & BRICK_MASK)
         word = _word_at(stopw, li >> 5)
         bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
         ev_dead = pend & ~in_b
@@ -933,12 +946,12 @@ CACHE_FAST_ROUNDS = 2
 
 # Branch-gated state-machine blocks: wrap each application block (setup /
 # march+book / ground) in lax.cond on "any lane is in this mode", skipping
-# the block's ops when the whole band is elsewhere. While-body cost here
-# scales with op count (brick-cache + word-select A/Bs, PERFORMANCE.md),
-# and cost-sorted bands are mode-homogeneous — a geometry band never pays
-# the ~200-op ground block, a sky band never pays the probe. Bit-equal by
-# construction: a skipped block is one whose masked version would have
-# written nothing (all wheres False).
+# the block's ops when the whole band is elsewhere. MEASURED DEAD on v5e
+# (scripts/bench_flag_ab.py --flag march.COND_GATES: headline 6.80 s ->
+# 12.14 s, bit-equal): conditional dispatch inside a TPU while body costs
+# ~as much as executing the gated block, same failure shape as BRICK_CACHE
+# (cost scales with program regions per application, PERFORMANCE.md).
+# Keep False: the while body must stay ONE straight-line masked sequence.
 COND_GATES = False
 
 

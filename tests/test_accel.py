@@ -563,3 +563,56 @@ def test_cost_sorted_accum_matches_sequential(scene):
     np.testing.assert_allclose(
         np.median(got, 0), np.median(want, 0), rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("edge", [4, 16])
+def test_brick_edge_bit_equal(scene, edge):
+    """accel.set_brick: the march contracts hold at any brick edge B
+    (d_equiv = B*D - (B-1)), and per-lane float op sequences are identical
+    across edges — raymarch outputs must be EXACTLY equal to the default
+    8^3 table on every backend, for the full carry and the lean shadow
+    configuration."""
+    vol, vol_np, opts, acc = scene
+    rng = np.random.default_rng(23)
+    n = 256
+    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    pv = V3.from_array(jnp.asarray(rp))
+    dv = V3.from_array(jnp.asarray(rd))
+    act = jnp.ones((n,), bool)
+    lmax = jnp.asarray(rng.uniform(0.5, 3.0, n).astype(np.float32))
+
+    def runs(a):
+        full = march.raymarch(
+            vol, opts, pv, dv, opts.maxDist, opts.maxIter, True, act, accel=a
+        )
+        shadow = march.raymarch(
+            vol, opts, pv, dv, lmax, opts.shadowIter, False, act,
+            want_normal=False, accel=a, truncate_to_max_dist=True,
+            want_object=False,
+        )
+        return full, shadow
+
+    assert accel_mod.BRICK == 8  # production default
+    base_f, base_s = runs(acc)
+    try:
+        accel_mod.set_brick(edge)
+        acc_e = accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal)
+        assert acc_e.rows.shape[1] == accel_mod.ROW_WORDS
+        # normal windows are edge-independent (fixed 8-stride grid)
+        np.testing.assert_array_equal(
+            np.asarray(acc_e.nrm_rows), np.asarray(acc.nrm_rows)
+        )
+        got_f, got_s = runs(acc_e)
+    finally:
+        accel_mod.set_brick(8)
+    for k in ("distance", "object_id"):
+        np.testing.assert_array_equal(np.asarray(base_f[k]), np.asarray(got_f[k]))
+    np.testing.assert_array_equal(
+        np.asarray(base_f["normal"].to_array()),
+        np.asarray(got_f["normal"].to_array()),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base_s["distance"]), np.asarray(got_s["distance"])
+    )
