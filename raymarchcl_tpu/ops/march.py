@@ -915,8 +915,12 @@ def _raymarch_nested(
 _M_DONE, _M_SETUP, _M_MARCH, _M_GROUND, _M_BOOK = 0, 1, 2, 3, 4
 
 # State-machine applications unrolled per while round, and ground-only
-# sphere steps executed per application for GROUND-mode lanes.
-FLAT_UNROLL = 8
+# sphere steps executed per application for GROUND-mode lanes. Re-swept at
+# the headline config under TILE_RAYS=4096 (scripts/bench_flat_sweep.py,
+# v5e, bit-equal — grouping-only): unroll 4: 6.66 s, 8: 6.78 s, 16: 7.09 s.
+# Finer unrolls waste fewer trailing lane-applications per band round now
+# that bands are 4x bigger than when 8 was tuned.
+FLAT_UNROLL = 4
 FLAT_GROUND_STEPS = 4
 
 # Diagnostic (scripts/audit_brick_cache.py): when True, the flat engine's
