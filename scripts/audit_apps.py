@@ -48,7 +48,22 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--vres", type=int, default=256)
     ap.add_argument("--mat", default="ao")
+    ap.add_argument("--brick", type=int, default=0,
+                    help="march brick edge (accel.set_brick); 0 = default")
+    ap.add_argument("--substeps", type=int, default=0,
+                    help="accel.BRICK_SUBSTEPS override; 0 = default")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.brick or args.substeps:
+        from raymarchcl_tpu.ops import accel as accel_ns
+
+        if args.brick:
+            accel_ns.set_brick(args.brick)
+        if args.substeps:
+            accel_ns.BRICK_SUBSTEPS = args.substeps
 
     from raymarchcl_tpu.api import build_accel_for, default_volume
     from raymarchcl_tpu.ops import render as render_mod
