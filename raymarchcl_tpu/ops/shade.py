@@ -26,6 +26,17 @@ from .vecmath import V3, dot, mix, normalize, reflect, where3
 
 _F32 = jnp.float32
 
+# Run all numLights shadow marches of a shade band in ONE while_loop by
+# stacking them along the lane axis (object_lighting): rounds drop from
+# sum-over-lights of band maxima to the max (per-light costs correlate
+# across lanes — the round-2 unified-machine study), and while-body cost
+# is strongly sublinear in lane width (PERFORMANCE.md cost model). Pure
+# lane regrouping: bit-equal by construction (tests/test_accel.py). Only
+# engages for numLights >= 2 presets (metal/terrain — BASELINE configs
+# 4/5); the ao headline has one light. Trace-time constant (clear the
+# render jit cache when flipping). OFF until the hardware A/B lands.
+STACK_LIGHT_SHADOWS = False
+
 
 def sky_gradient(opts, rdir: V3) -> V3:
     """Vertical sky gradient (reference: renderer.cl:259-261)."""
@@ -251,24 +262,55 @@ def object_lighting(
     # maxima) was built, verified bit-equal on TPU, and measured ~8% SLOWER
     # at every band size — per-phase costs CORRELATE across lanes (glancing
     # geometry is expensive in every phase), so max(sum) ~= sum(max) and
-    # the machine's phase-select overhead wins. Kept sequential.
+    # the machine's phase-select overhead wins. Kept sequential — but see
+    # STACK_LIGHT_SHADOWS below, which exploits the SAME correlation the
+    # opposite way: no phase select, just a wider lane axis.
     ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     sfs = []
     resolved = None
-    for l in lt:
+    if STACK_LIGHT_SHADOWS and len(lt) > 1 and cap_rounds is None:
+        # All lights' shadow marches in ONE while_loop, stacked along the
+        # lane axis (k*N + lane = light k's ray): the band pays
+        # max-over-lights of band-max rounds instead of the sum, and
+        # while-body cost is strongly sublinear in lane width on this
+        # platform (PERFORMANCE.md cost model). Per-lane marches are
+        # independent, so every lane computes bit-identical values to the
+        # sequential loop; tests/test_parity.py + tpu_invariants cover it.
+        n = ray_dir.x.shape[0]
+
+        def cat(g):
+            return jnp.concatenate([g(l) for l in lt])
+
         ret = shadow(
-            vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
-            accel, want_stats=want_stats, cap_rounds=cap_rounds,
+            vol, opts,
+            V3(cat(lambda l: l["origin"].x), cat(lambda l: l["origin"].y),
+               cat(lambda l: l["origin"].z)),
+            V3(cat(lambda l: l["ldir"].x), cat(lambda l: l["ldir"].y),
+               cat(lambda l: l["ldir"].z)),
+            cat(lambda l: l["lmax"]), cat(lambda l: l["act"]),
+            accel, want_stats=want_stats,
         )
         if not isinstance(ret, tuple):
             ret = (ret,)
-        sfs.append(ret[0])
-        i = 1
+        sfs = [ret[0][k * n : (k + 1) * n] for k in range(len(lt))]
         if want_stats:
-            apps = apps + ret[i]
-            i += 1
-        if cap_rounds is not None:
-            resolved = ret[i] if resolved is None else (resolved & ret[i])
+            for k in range(len(lt)):
+                apps = apps + ret[1][k * n : (k + 1) * n]
+    else:
+        for l in lt:
+            ret = shadow(
+                vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
+                accel, want_stats=want_stats, cap_rounds=cap_rounds,
+            )
+            if not isinstance(ret, tuple):
+                ret = (ret,)
+            sfs.append(ret[0])
+            i = 1
+            if want_stats:
+                apps = apps + ret[i]
+                i += 1
+            if cap_rounds is not None:
+                resolved = ret[i] if resolved is None else (resolved & ret[i])
     if cap_rounds is not None and resolved is None:  # numLights == 0
         resolved = jnp.ones(ray_dir.x.shape, bool)
 

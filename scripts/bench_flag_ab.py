@@ -24,7 +24,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--flag", required=True,
-                    help="<module>.<NAME> with module in {march, render, accel}")
+                    help="<module>.<NAME> with module in "
+                         "{march, render, accel, shade}")
     ap.add_argument("--values", default="False,True",
                     help="comma list of python literals")
     ap.add_argument("--size", type=int, default=512)
@@ -38,12 +39,14 @@ def main():
     from raymarchcl_tpu.ops import accel as accel_ns
     from raymarchcl_tpu.ops import march as march_ns
     from raymarchcl_tpu.ops import render as render_mod
+    from raymarchcl_tpu.ops import shade as shade_ns
     from raymarchcl_tpu.ops.camera import compute_eyepos
     from raymarchcl_tpu.ops.sampling import make_mc_tables
     from raymarchcl_tpu.options import render_options
 
     modname, flag = args.flag.split(".")
-    mod = {"march": march_ns, "render": render_mod, "accel": accel_ns}[modname]
+    mod = {"march": march_ns, "render": render_mod, "accel": accel_ns,
+           "shade": shade_ns}[modname]
     saved = getattr(mod, flag)
 
     volume_np, vres = default_volume((args.vres,) * 3)
