@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import render as render_mod
 
 AXIS = "tiles"
+PASS_AXIS = "passes"
 
 
 def make_mesh(devices=None, n=None):
@@ -32,6 +33,20 @@ def make_mesh(devices=None, n=None):
     if n is not None:
         devices = devices[:n]
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_mesh2d(n_spp, n_tiles, devices=None):
+    """2-D (passes, tiles) mesh: the production scale-out topology for big
+    jobs — spp sharding keeps per-chip bands at full-frame granularity
+    while pixel tiling bounds per-chip memory; the psum of pass shards
+    rides ICI within each tile column."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_spp * n_tiles
+    return Mesh(
+        np.asarray(devices[: n_spp * n_tiles]).reshape(n_spp, n_tiles),
+        (PASS_AXIS, AXIS),
+    )
 
 
 # Compiled tiled programs, keyed on (mesh, opts treedef incl. all static
@@ -117,6 +132,88 @@ def _spp_fn(mesh, opts, n_passes):
     )
     _TILED_CACHE[key] = fn
     return fn
+
+
+def _fn2d(mesh, opts, n_pad, n_passes):
+    key = ("2d", mesh, jax.tree_util.tree_structure(opts), n_pad, n_passes)
+    fn = _TILED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    n_tiles = mesh.shape[AXIS]
+    n_sp = mesh.shape[PASS_AXIS]
+    blk_px = n_pad // n_tiles
+    blk_p = n_passes // n_sp
+    n_pix = opts.num_pixels
+
+    def shard_body(opts, vol, mc_tables_blk, times_blk, accum_blk, accel):
+        from ..ops.march import _carry_vma
+
+        tile = jax.lax.axis_index(AXIS)
+        k = jax.lax.axis_index(PASS_AXIS)
+        ids = tile * blk_px + jnp.arange(blk_px, dtype=jnp.int32)
+        ids = jnp.minimum(ids, n_pix - 1)  # padded tail: redundant pixel
+        zero = _carry_vma(jnp.zeros_like(accum_blk), mc_tables_blk)
+        acc_k = render_mod.render_accum(
+            vol, opts, mc_tables_blk, times_blk, zero, ids, accel
+        )
+        # same closed-form re-weighting as _spp_fn, psummed down the pass
+        # columns of this tile
+        w = (1.0 - opts.frameBlend) ** (
+            jnp.float32(blk_p) * (n_sp - 1 - k).astype(jnp.float32)
+        )
+        acc = jax.lax.psum(acc_k * w, PASS_AXIS)
+        acc = acc + accum_blk * (1.0 - opts.frameBlend) ** jnp.float32(n_passes)
+        return acc, render_mod.pack_argb(opts, acc)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(PASS_AXIS), P(PASS_AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(AXIS)),
+        )
+    )
+    _TILED_CACHE[key] = fn
+    return fn
+
+
+def render_image_2d(vol, opts, mc_tables, times=None, accum=None, mesh=None,
+                    accel=None):
+    """Combined pass x pixel sharding over a 2-D (passes, tiles) mesh
+    (make_mesh2d): chip (k, t) renders passes [k*blk_p, (k+1)*blk_p) of
+    pixel tile t from a zero buffer; the closed-form re-weighted blends
+    psum down each tile's pass column (exact weights, f32 reassociation —
+    same tolerance story as render_image_spp_sharded).
+
+    Returns (argb (H, W) ndarray, accum (n_pad, 3) tile-sharded array for
+    progressive refinement)."""
+    if mesh is None:
+        mesh = make_mesh2d(2, len(jax.devices()) // 2)
+    n_sp = mesh.shape[PASS_AXIS]
+    n_tiles = mesh.shape[AXIS]
+    n_passes = mc_tables.shape[0]
+    if n_passes % n_sp != 0:
+        raise ValueError(
+            f"2-D sharding needs n_passes ({n_passes}) divisible by the"
+            f" mesh pass dim ({n_sp})"
+        )
+    if times is None:
+        times = jnp.arange(n_passes, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    n_pix = opts.num_pixels
+    n_pad = -(-n_pix // n_tiles) * n_tiles
+    if accum is None:
+        accum = jnp.zeros((n_pad, 3), jnp.float32)
+    accum = jax.device_put(accum, NamedSharding(mesh, P(AXIS)))
+    vol = jax.device_put(
+        jnp.asarray(vol, jnp.uint8).reshape(-1), NamedSharding(mesh, P())
+    )
+    shard_p = NamedSharding(mesh, P(PASS_AXIS))
+    mc_tables = jax.device_put(mc_tables, shard_p)
+    times = jax.device_put(times, shard_p)
+    fn = _fn2d(mesh, opts, n_pad, n_passes)
+    accum, argb = fn(opts, vol, mc_tables, times, accum, accel)
+    w, h = opts.resolution
+    return np.asarray(argb)[:n_pix].reshape(h, w), accum
 
 
 def render_image_spp_sharded(vol, opts, mc_tables, times=None, accum=None,

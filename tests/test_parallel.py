@@ -160,3 +160,27 @@ def test_host_slices_identical(scene):
     b, acc_b = render_mod.render_image(vol, opts, tables, host_slices=4)
     np.testing.assert_array_equal(b, a)
     np.testing.assert_array_equal(np.asarray(acc_b), np.asarray(acc_a))
+
+
+def test_2d_mesh_matches_sequential(scene):
+    """Combined (passes, tiles) 2-D mesh (tiling.make_mesh2d): chip (k, t)
+    renders a pass range of a pixel tile; re-weighted blends psum down pass
+    columns. Same tolerance story as spp sharding (exact weights, f32
+    reassociation)."""
+    vol, _, tables = scene
+    opts = render_options(
+        width=40, height=24, vres=[32, 32, 96], iter=8, mat="ao",
+        maxIter=32, maxVoxelIter=64, shadowIter=32,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    tables8 = sampling.make_mc_tables(8, seed=9)
+    argb_1, accum_1 = render_mod.render_image(vol, opts, tables8)
+    for n_sp, n_t in ((2, 4), (4, 2)):
+        argb_2, accum_2 = tiling.render_image_2d(
+            vol, opts, tables8, mesh=tiling.make_mesh2d(n_sp, n_t)
+        )
+        np.testing.assert_allclose(
+            np.asarray(accum_2)[: opts.num_pixels],
+            np.asarray(accum_1), rtol=2e-5, atol=1e-6,
+        )
+        assert (np.asarray(argb_2) != np.asarray(argb_1)).mean() < 0.01
