@@ -70,12 +70,14 @@ NRM_ROW_WORDS = 56  # 12^3 bits = 54 words, padded to even
 
 
 def set_brick(n: int):
-    """Switch the march brick edge (4/8/16/32). Build-time AND trace-time:
-    callers must rebuild accel tables and clear render jit caches after.
-    The march contracts hold at any edge B with d_equiv = B*D - (B-1)
-    (two voxels in bricks at brick-Chebyshev D are at voxel-Chebyshev
-    >= B*D - (B-1)); per-sample semantics are edge-independent, so any
-    edge is bit-equal to the plain march (tests/test_accel.py)."""
+    """Switch the brick edge (4/8/16/32) for subsequent build_accel calls.
+    BUILD-time only: the march decodes a table through Accel.edge (static
+    pytree aux — retraces automatically), never through these globals, so
+    existing tables stay valid at any later setting. The march contracts
+    hold at any edge B with d_equiv = B*D - (B-1) (two voxels in bricks at
+    brick-Chebyshev D are at voxel-Chebyshev >= B*D - (B-1)); per-sample
+    semantics are edge-independent, so any edge is bit-equal to the plain
+    march (tests/test_accel.py::test_brick_edge_bit_equal)."""
     global BRICK, BRICK_SHIFT, BRICK_MASK, DIST_W, ROW_WORDS
     assert n in (4, 8, 16, 32), n
     BRICK = n
@@ -130,12 +132,20 @@ class Accel:
     # column 4*w + b = byte b of word w
     rows_mxu: jnp.ndarray | None = None
     nrm_mxu: jnp.ndarray | None = None
+    # Brick edge the table was BUILT at. Static pytree aux: the march
+    # decodes rows through this (never through the module globals, which
+    # only steer builds), so a table can never be mis-decoded by a later
+    # set_brick; being aux data it also hashes into the jit key, so edge
+    # flips retrace automatically.
+    edge: int = struct.field(pytree_node=False, default=8)
 
 
-def brick_dims(voxel_res):
-    """(NBX, NBY, NBZ) brick-grid dims for a voxel resolution."""
+def brick_dims(voxel_res, edge=None):
+    """(NBX, NBY, NBZ) brick-grid dims for a voxel resolution at the given
+    (default: currently configured) brick edge."""
+    b = BRICK if edge is None else edge
     rx, ry, rz = int(voxel_res[0]), int(voxel_res[1]), int(voxel_res[2])
-    return -(-rx // BRICK), -(-ry // BRICK), -(-rz // BRICK)
+    return -(-rx // b), -(-ry // b), -(-rz // b)
 
 
 def nrm_dims(voxel_res):
@@ -161,7 +171,8 @@ def chebyshev_from_mask(stop_3d):
 
 
 def _brickify(a3, nbx, nby, nbz):
-    """(Z, Y, X) padded array -> (NB, 512) with local index L=(lz*8+ly)*8+lx."""
+    """(Z, Y, X) padded array -> (NB, BRICK^3) with local index
+    L = ((lz*BRICK + ly)*BRICK + lx)."""
     return (
         a3.reshape(nbz, BRICK, nby, BRICK, nbx, BRICK)
         .transpose(0, 2, 4, 1, 3, 5)
@@ -230,7 +241,7 @@ def build_accel(vol, voxel_res, iso_val) -> Accel:
     nrm_mxu = byte_planes(nrm) if nrm.shape[0] <= ONEHOT_MAX_ROWS else None
     return Accel(
         rows=jnp.asarray(rows), nrm_rows=jnp.asarray(nrm),
-        rows_mxu=rows_mxu, nrm_mxu=nrm_mxu,
+        rows_mxu=rows_mxu, nrm_mxu=nrm_mxu, edge=BRICK,
     )
 
 

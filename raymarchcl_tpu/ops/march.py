@@ -234,8 +234,9 @@ def _occ5_superbrick(accel, opts, q: V3):
             base = ((u0z + k) * 12 + (u0y + j)) * 12 + u0x.astype(_I32)
             w1 = base >> 5
             sh = (base & 31).astype(jnp.uint32)
-            # w1 <= 53, w1+1 <= 54 = NRM_ROW_WORDS: the tree's zero padding
-            # reproduces the one-hot empty sum for the boundary word
+            # w1 <= 53 and w1+1 <= 54 < NRM_ROW_WORDS = 56, so both reads
+            # are in-row (the last two words are zero padding); the select
+            # tree and the one-hot sum agree everywhere (test_march)
             word1 = _word_at(row, w1)
             word2 = _word_at(row, w1 + 1)
             hi = jnp.where(
@@ -379,7 +380,8 @@ def march_volume(
 # Word extraction from a (N, W) row by per-lane index: binary select tree
 # (log2(W) halving selects) vs the (N, W)-broadcast one-hot compare+sum.
 # Both are exact u32 selects of the same word. MEASURED DEAD on v5e
-# (scripts/bench_word_select.py: headline 6.81 s -> 17.88 s, bit-equal):
+# (scripts/bench_flag_ab.py --flag march.WORD_SELECT_TREE:
+# headline 6.81 s -> 17.88 s, bit-equal):
 # ops on (N, W<=128) cost the same as on (N,) — the last dim rides the
 # 128-lane axis — so the one-hot's 3 wide ops beat the tree's ~15 narrow
 # dependent selects. While-body cost on this platform scales with OP
@@ -443,17 +445,20 @@ def _gather_rows(accel_rows, accel_mxu, bid, n_words):
     return jnp.take(accel_rows, bid, axis=0, mode="clip")
 
 
-def _probe_landing(opts, p0: V3, delta: V3, k):
+def _probe_landing(opts, p0: V3, delta: V3, k, edge):
     """Landing-sample coordinates of one brick application: integer voxel
-    coord validity, brick coords and brick row id (0 where invalid)."""
-    from .accel import BRICK_SHIFT, brick_dims
+    coord validity, brick coords and brick row id (0 where invalid).
+    `edge` is the brick edge the ACCEL TABLE was built at (Accel.edge) —
+    never the module global, so a table cannot be mis-decoded."""
+    from .accel import brick_dims
 
-    nbx, nby, _ = brick_dims(opts.voxelRes)
+    shift = edge.bit_length() - 1
+    nbx, nby, _ = brick_dims(opts.voxelRes, edge)
     kf = k.astype(_F32)
     p = V3(p0.x + delta.x * kf, p0.y + delta.y * kf, p0.z + delta.z * kf)
     q = voxel_coord(opts, p)
     valid, _ = _bounds_and_index(opts, q)
-    bx, by, bz = q.x >> BRICK_SHIFT, q.y >> BRICK_SHIFT, q.z >> BRICK_SHIFT
+    bx, by, bz = q.x >> shift, q.y >> shift, q.z >> shift
     bid = jnp.where(valid, (bz * nby + by) * nbx + bx, 0)
     return valid, bx, by, bz, bid
 
@@ -489,12 +494,12 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
       bid    — landing brick identity (-2 where out of grid)
       rows   — the gathered (N, ROW_WORDS) rows (brick-cache carry source)
     """
-    from .accel import ROW_WORDS
-
-    valid, bx, by, bz, bid = _probe_landing(opts, p0, delta, k)
-    rows = _gather_rows(accel.rows, accel.rows_mxu, bid, ROW_WORDS)  # (N, 18)
+    valid, bx, by, bz, bid = _probe_landing(opts, p0, delta, k, accel.edge)
+    # (N, ROW_WORDS) with ROW_WORDS = edge^3/32 + 2 (18 at the default 8^3)
+    rows = _gather_rows(accel.rows, accel.rows_mxu, bid, accel.rows.shape[1])
     ev = _probe_resolve(
-        opts, rows, p0, delta, k, act, cap, inv_vps, valid, bx, by, bz
+        opts, rows, p0, delta, k, act, cap, inv_vps, valid, bx, by, bz,
+        accel.edge,
     )
     ev["bid"] = jnp.where(valid, bid, -2)
     ev["rows"] = rows
@@ -502,26 +507,29 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
 
 
 def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
-                   valid, bx, by, bz):
+                   valid, bx, by, bz, edge):
     """Row-content half of a brick application (see _brick_probe): given
     the landing's brick row — gathered, or a lane's cached copy whose
     cbid == the landing bid (identical content, accel.rows is immutable) —
-    resolve skip/substep/stop events with pure vector ops."""
-    from .accel import (
-        BRICK, BRICK_MASK, BRICK_SHIFT, BRICK_SUBSTEPS, DIST_W, SKIP_SLACK,
-        STOP_W0,
-    )
+    resolve skip/substep/stop events with pure vector ops. `edge` is the
+    table's Accel.edge; the row layout (STOP words, distance word) is
+    derived from it, never from the module globals."""
+    from .accel import BRICK_SUBSTEPS, SKIP_SLACK, STOP_W0
 
     n = k.shape[0]
+    shift = edge.bit_length() - 1
+    mask = edge - 1
+    dist_w = edge**3 // 32  # STOP words precede the distance word
+    assert rows.shape[1] == dist_w + 2, (rows.shape, edge)
 
     # two voxels in bricks at brick-Chebyshev D are at voxel-Chebyshev
-    # >= BRICK*D - (BRICK-1)
-    d_equiv = float(BRICK) * rows[:, DIST_W].astype(_F32) - float(BRICK - 1)
+    # >= edge*D - (edge-1)
+    d_equiv = float(edge) * rows[:, dist_w].astype(_F32) - float(edge - 1)
     # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
     # degenerate rays; 2^30 steps is "past any budget" either way)
     skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
 
-    stopw = rows[:, STOP_W0:DIST_W]  # (N, 16)
+    stopw = rows[:, STOP_W0:dist_w]  # (N, edge^3/32)
 
     brk = act & ~valid  # landing itself out of grid
     hit = jnp.zeros((n,), bool)
@@ -538,13 +546,11 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         in_b = ki < cap
         same = (
             vi
-            & ((qi.x >> BRICK_SHIFT) == bx)
-            & ((qi.y >> BRICK_SHIFT) == by)
-            & ((qi.z >> BRICK_SHIFT) == bz)
+            & ((qi.x >> shift) == bx)
+            & ((qi.y >> shift) == by)
+            & ((qi.z >> shift) == bz)
         )
-        li = (
-            (qi.z & BRICK_MASK) * BRICK + (qi.y & BRICK_MASK)
-        ) * BRICK + (qi.x & BRICK_MASK)
+        li = ((qi.z & mask) * edge + (qi.y & mask)) * edge + (qi.x & mask)
         word = _word_at(stopw, li >> 5)
         bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
         ev_dead = pend & ~in_b
@@ -1135,11 +1141,13 @@ def _raymarch_flat(
         the break event reads no row) resolve against crow; every other
         lane passes through untouched and probes in the gathered round."""
         in_march = c["mode"] == _M_MARCH
-        valid, bx, by, bz, bid = _probe_landing(opts, c["p0"], delta, c["k"])
+        valid, bx, by, bz, bid = _probe_landing(
+            opts, c["p0"], delta, c["k"], accel.edge
+        )
         use = in_march & (~valid | (bid == c["cbid"]))
         ev = _probe_resolve(
             opts, c["crow"], c["p0"], delta, c["k"], use, c["cap"], inv_vps,
-            valid, bx, by, bz,
+            valid, bx, by, bz, accel.edge,
         )
         return _book(c, ev, use)
 
@@ -1240,9 +1248,7 @@ def _raymarch_flat(
     if APPS_FRESH:  # last gathered brick id (diagnostic, see flag)
         carry["lbid"] = jnp.full((n,), -1, _I32)
     if BRICK_CACHE:  # carried last-gathered row; cbid=-1 matches no brick
-        from .accel import ROW_WORDS
-
-        carry["crow"] = jnp.zeros((n, ROW_WORDS), jnp.uint32)
+        carry["crow"] = jnp.zeros((n, accel.rows.shape[1]), jnp.uint32)
         carry["cbid"] = jnp.full((n,), -1, _I32)
     if not lean:
         carry.update({

@@ -275,7 +275,9 @@ def object_lighting(
         # while-body cost is strongly sublinear in lane width on this
         # platform (PERFORMANCE.md cost model). Per-lane marches are
         # independent, so every lane computes bit-identical values to the
-        # sequential loop; tests/test_parity.py + tpu_invariants cover it.
+        # sequential loop (tests/test_accel.py::
+        # test_stacked_light_shadows_bit_equal — exact on TPU, tolerance
+        # on CPU like every full-render scheduling invariant).
         n = ray_dir.x.shape[0]
 
         def cat(g):

@@ -188,7 +188,10 @@ def render_image_2d(vol, opts, mc_tables, times=None, accum=None, mesh=None,
     Returns (argb (H, W) ndarray, accum (n_pad, 3) tile-sharded array for
     progressive refinement)."""
     if mesh is None:
-        mesh = make_mesh2d(2, len(jax.devices()) // 2)
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            raise ValueError("render_image_2d needs >= 2 devices")
+        mesh = make_mesh2d(2, n_dev // 2)
     n_sp = mesh.shape[PASS_AXIS]
     n_tiles = mesh.shape[AXIS]
     n_passes = mc_tables.shape[0]

@@ -89,8 +89,10 @@ def main():
     accum0 = jnp.zeros((n, 3), jnp.float32)
     zero = {"a": jnp.zeros((n,), jnp.int32), "b": jnp.zeros((n,), jnp.int32)}
 
+    # device arrays as jit ARGS, not closure captures (CLAUDE.md
+    # dispatch-poison gotcha)
     @jax.jit
-    def two_pass(vol, opts, tables, accel):
+    def two_pass(vol, opts, tables, accel, accum0, ids, zero):
         # _render_pass_deferred takes the TRANSPOSED (4, T) table
         _, maps1 = render_mod._render_pass_deferred(
             vol, opts, transpose_table(tables[0]), accum0, ids, accel, tiles,
@@ -102,7 +104,9 @@ def main():
         )
         return maps1, maps2
 
-    maps1, maps2 = jax.device_get(two_pass(vol, opts, tables, accel))
+    maps1, maps2 = jax.device_get(
+        two_pass(vol, opts, tables, accel, accum0, ids, zero)
+    )
     w = args.size
 
     # phase A: exact reproduction of pass 2's band order

@@ -72,17 +72,16 @@ def main():
     accel = build_accel_for(volume_np, opts)
     tables = make_mc_tables(args.passes, seed=0)
     n = opts.num_pixels
-    tile = auto_tiles(n)
-    while tile > 1 and (n % tile != 0 or n // tile < 512):
-        tile //= 2
+    tile = auto_tiles(n)  # auto_tiles guarantees n % tile == 0
     ids = jnp.arange(n, dtype=jnp.int32)
     accum0 = jnp.zeros((n, 3), jnp.float32)
     zero = {"a": jnp.zeros((n,), jnp.int32), "b": jnp.zeros((n,), jnp.int32)}
 
+    # device arrays as jit ARGS, not closure captures (CLAUDE.md
+    # dispatch-poison gotcha)
     @jax.jit
-    def run(vol, opts, tables, accel):
+    def run(vol, opts, tables, accel, ids, accum0, cost):
         maps = []
-        cost = zero
         for k in range(args.passes):
             _, m = render_mod._render_pass_deferred(
                 vol, opts, transpose_table(tables[k]), accum0, ids, accel,
@@ -94,7 +93,7 @@ def main():
             )
         return maps
 
-    maps = jax.device_get(run(vol, opts, tables, accel))
+    maps = jax.device_get(run(vol, opts, tables, accel, ids, accum0, zero))
     w = args.size
     band_px = n // tile  # pixels per band at S=1 (= TILE_RAYS granularity)
 
