@@ -10,6 +10,9 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   4. host_slices=1 vs 4
   5. brick-cache fast rounds on/off (march.BRICK_CACHE)
   6. carry-state respill on/off (render.RESPILL; bounce-free preset)
+  7. brick edge 16 vs 8 (accel.set_brick; Accel.edge retraces by itself)
+  8. lane-stacked light shadows on/off (shade.STACK_LIGHT_SHADOWS; the
+     metal preset's 2 lights engage the stacked branch)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -140,6 +143,34 @@ def main():
             record("respill_on_off", e0, e1)
         finally:
             flag_flip(**saved)
+
+    if run_inv("brick_edge_16"):
+        # Accel.edge is static jit-key aux: no cache clear needed, the
+        # 130-word table retraces by itself (ops/accel.set_brick)
+        from raymarchcl_tpu.ops import accel as accel_mod
+
+        accel_mod.set_brick(16)
+        try:
+            acc16 = build_accel_for(volume_np, opts)
+        finally:
+            accel_mod.set_brick(8)
+        g, _ = render_mod.render_image(vol, opts, tables, accel=acc16)
+        record("brick_edge_16", ref, g)
+
+    if run_inv("stacked_lights_on_off"):
+        # shade-module flag (trace-time, needs the cache clear); metal has
+        # numLights=2 so the stacked branch engages
+        from raymarchcl_tpu.ops import shade as shade_mod
+
+        saved_sl = shade_mod.STACK_LIGHT_SHADOWS
+        try:
+            shade_mod.STACK_LIGHT_SHADOWS = True
+            render_mod._render_jit.clear_cache()
+            h, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("stacked_lights_on_off", ref, h)
+        finally:
+            shade_mod.STACK_LIGHT_SHADOWS = saved_sl
+            render_mod._render_jit.clear_cache()
 
     ok = all(results.values())
     print(
