@@ -531,6 +531,12 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
 
     stopw = rows[:, STOP_W0:dist_w]  # (N, edge^3/32)
 
+    if WIDE_SUBSTEPS:
+        return _resolve_substeps_wide(
+            opts, stopw, p0, delta, k, act, cap, skip, valid,
+            bx, by, bz, edge, BRICK_SUBSTEPS,
+        )
+
     brk = act & ~valid  # landing itself out of grid
     hit = jnp.zeros((n,), bool)
     dead = jnp.zeros((n,), bool)
@@ -564,6 +570,106 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         k_exit = jnp.where(ev_exit, ki, k_exit)
         pend = pend & in_b & vi & same & ~bit
     k_exit = jnp.where(pend, k + BRICK_SUBSTEPS, k_exit)  # unroll out: re-gather
+
+    ended = hit | brk
+    k_next = jnp.where(act & valid & (skip > 0), k + 1 + skip, k_exit)
+    cont = act & valid & ~ended & ~dead
+    dead = dead | (cont & (k_next >= cap))
+    cont = cont & (k_next < cap)
+    return {
+        "ended": ended,
+        "hit": hit,
+        "k_end": k_end,
+        "dead": dead,
+        "cont": cont,
+        "k_next": k_next,
+    }
+
+
+def _prefix_and_excl(go):
+    """Exclusive prefix-AND along the trailing axis: out[:, i] =
+    AND_{j<i} go[:, j] (out[:, 0] = True). Log-doubling with pad-and-slice
+    shifts — straight-line ops only (no scan: extra program regions inside
+    a while body cost more than the ops they save, PERFORMANCE.md)."""
+    nn, s = go.shape
+    p = jnp.concatenate([jnp.ones((nn, 1), bool), go[:, :-1]], axis=1)
+    sh = 1
+    while sh < s:
+        p = p & jnp.concatenate([jnp.ones((nn, sh), bool), p[:, :-sh]], axis=1)
+        sh *= 2
+    return p
+
+
+def _select_f32(mask, vals):
+    """Exact one-hot f32 select along axis 1: sum the uint32 BIT PATTERNS
+    under the mask (at most one lane true per row). Unlike a float masked
+    sum this is exact for -0.0 and NaN payloads; rows with no true lane
+    yield +0.0 (callers gate those with a jnp.where)."""
+    bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    sel = jnp.sum(
+        jnp.where(mask, bits, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )
+    return jax.lax.bitcast_convert_type(sel, jnp.float32)
+
+
+def _resolve_substeps_wide(opts, stopw, p0, delta, k, act, cap, skip, valid,
+                           bx, by, bz, edge, substeps):
+    """Batched-substep half of _probe_resolve (WIDE_SUBSTEPS): evaluate all
+    `substeps` sample tests as (N, S) lanes in one straight-line block, then
+    recover the serial loop's first-event semantics with an exclusive
+    prefix-AND. Per-element float/int expressions are identical to the
+    serial loop's (same primitive per element), and at most ONE substep per
+    lane carries an event (the serial `pend` dies at the first event, and
+    pend_i here includes the same prefix), so masked sums select exactly
+    the serial k_end/k_exit. Bit-equal by construction; asserted by
+    tests/test_accel.py::test_wide_substeps_bit_equal and on TPU by
+    scripts/tpu_invariants.py (wide_substeps_on_off)."""
+    shift = edge.bit_length() - 1
+    mask = edge - 1
+    i = jnp.arange(substeps, dtype=_I32)[None, :]
+    ki = k[:, None] + i  # (N, S)
+    kfi = ki.astype(_F32)
+    pi = V3(
+        p0.x[:, None] + delta.x[:, None] * kfi,
+        p0.y[:, None] + delta.y[:, None] * kfi,
+        p0.z[:, None] + delta.z[:, None] * kfi,
+    )
+    qi = voxel_coord(opts, pi)  # elementwise -> (N, S)
+    vi, _ = _bounds_and_index(opts, qi)
+    in_b = ki < cap[:, None]
+    same = (
+        vi
+        & ((qi.x >> shift) == bx[:, None])
+        & ((qi.y >> shift) == by[:, None])
+        & ((qi.z >> shift) == bz[:, None])
+    )
+    li = ((qi.z & mask) * edge + (qi.y & mask)) * edge + (qi.x & mask)
+    iota = jnp.arange(stopw.shape[1], dtype=_I32)[None, None, :]
+    word = jnp.sum(
+        jnp.where(iota == (li >> 5)[:, :, None], stopw[:, None, :],
+                  jnp.uint32(0)),
+        axis=2,
+    )  # (N, S) — the serial loop's _word_at, batched
+    bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
+
+    go = in_b & vi & same & ~bit  # the serial pend survives this substep
+    pend0 = act & valid & (skip == 0)
+    pend_i = pend0[:, None] & _prefix_and_excl(go)  # (N, S) serial pend_i
+    ev_dead = pend_i & ~in_b
+    ev_brk = pend_i & in_b & ~vi
+    ev_hit = pend_i & in_b & vi & same & bit
+    ev_exit = pend_i & in_b & vi & ~same
+    stop_i = ev_hit | ev_brk  # <= one true per lane (pend dies at events)
+
+    brk0 = act & ~valid  # landing itself out of grid
+    hit = jnp.any(ev_hit, axis=1)
+    brk = brk0 | jnp.any(ev_brk, axis=1)
+    dead = jnp.any(ev_dead, axis=1)
+    k_end = jnp.where(brk0, k, jnp.sum(jnp.where(stop_i, ki, 0), axis=1))
+    has_exit = jnp.any(ev_exit, axis=1)
+    k_exit = jnp.where(has_exit, jnp.sum(jnp.where(ev_exit, ki, 0), axis=1), k)
+    ran_out = pend0 & jnp.all(go, axis=1)  # unroll out: re-gather
+    k_exit = jnp.where(ran_out, k + substeps, k_exit)
 
     ended = hit | brk
     k_next = jnp.where(act & valid & (skip > 0), k + 1 + skip, k_exit)
@@ -954,6 +1060,40 @@ APPS_FRESH = False
 BRICK_CACHE = False
 CACHE_FAST_ROUNDS = 2
 
+# Wide substep resolve: batch _probe_resolve's BRICK_SUBSTEPS sample tests
+# along a trailing (S,) axis instead of a python-unrolled serial loop. The
+# platform cost model (PERFORMANCE.md round-3) is while-body time ~ op
+# count x ~0.2 us ISSUE cost at any operand width <= (N, 128): the serial
+# loop issues ~65 ops per substep (~390 for the block), the wide form
+# issues the same ~65 elementwise ops ONCE on (N, S) operands plus a
+# ~10-op prefix-AND/reduction epilogue. Per-element float expressions are
+# identical (same ops, bigger shapes) and the event logic is exact boolean
+# algebra over the same predicates, so outputs are bit-equal
+# (tests/test_accel.py::test_wide_substeps_bit_equal; on-TPU:
+# scripts/tpu_invariants.py wide_substeps_on_off). Default ON from the
+# round-3 HW A/B: headline 6.66 s -> 4.92 s (-26%), bit-equal on v5e; the
+# (substeps x edge) matrix re-sweep kept SUBSTEPS=6 / BRICK=8 (deeper
+# substeps cut paid applications 0.75x offline but the extra trailing work
+# nets out worse on HW: 12 -> 5.04 s, 16 -> 5.08 s; 16^3 bricks put the
+# word-select at (N, S, 128) and lose big: 7.6-17.2 s). PERFORMANCE.md.
+WIDE_SUBSTEPS = True
+
+# Wide ground block: batch the FLAT_GROUND_STEPS ground-mode steps the same
+# way — the serial recurrence is only the ~5-op dist ladder; the ~90-op
+# remainder (slab test + bookkeeping) evaluates once on (N, S) lanes
+# (~free trailing dim per the cost model). Also changes the economics of
+# FLAT_GROUND_STEPS depth: deeper ground unrolls retire more steps per
+# application at near-constant body cost. Bit-equal
+# (tests/test_accel.py::test_wide_ground_bit_equal; on-TPU:
+# scripts/tpu_invariants.py wide_ground_on_off). Default ON from the
+# round-3 HW A/B: headline 4.921 -> 4.804 s at depth 4. NOTE the win is
+# ~2.4% where the op-count model predicted ~25% — the serial ground
+# block's plain (N,) float ops are much cheaper per op than the substep
+# loop's word-select/select chains, and deeper wide depths LOSE (8 ->
+# 5.04 s, 16 -> 5.51 s) despite retiring more steps per application
+# (PERFORMANCE.md round-3 session-3: the cost model is op-KIND-dependent).
+WIDE_GROUND = True
+
 # Branch-gated state-machine blocks: wrap each application block (setup /
 # march+book / ground) in lax.cond on "any lane is in this mode", skipping
 # the block's ops when the whole band is elsewhere. MEASURED DEAD on v5e
@@ -1152,6 +1292,8 @@ def _raymarch_flat(
         return _book(c, ev, use)
 
     def _ground(c):
+        if WIDE_GROUND:
+            return _ground_wide(c)
         # python-unrolled: each ground step is ~50 fused elementwise ops —
         # cheap to compile, while loop-carrying them would pay per-iteration
         # overhead on every state-machine step
@@ -1182,6 +1324,89 @@ def _raymarch_flat(
                 nc["gd"] = jnp.where(a, gd, c["gd"])
             c = nc
         return c
+
+    def _ground_wide(c):
+        """Batched ground block (WIDE_GROUND): the serial loop's only true
+        recurrence is the dist ladder — dist_{i+1} = dist_i + res_d_i with
+        res_d_i a ~5-op function of dist_i — so run THAT serially
+        (identical per-element expressions) and evaluate everything else
+        (slab test, done/fin bookkeeping) once on (N, S) lanes, recovering
+        the serial first-event semantics with an exclusive prefix-AND as in
+        _resolve_substeps_wide. Event order per step matches the serial
+        loop: box re-entry (exit -> SETUP, no step consumed) is checked
+        before fin (-> DONE, step consumed). Float selects go through
+        uint32 bit-pattern sums (exact for -0.0/NaN, unlike a float masked
+        sum). Bit-equal by construction; asserted by
+        tests/test_accel.py::test_wide_ground_bit_equal and on TPU by
+        scripts/tpu_invariants.py (wide_ground_on_off)."""
+        S = FLAT_GROUND_STEPS
+        g0 = c["mode"] == _M_GROUND
+        # serial ladder: dist_i, and the per-step gd/res_d/res_m it implies
+        dists = [c["dist"]]
+        pys, gds, resds, resms = [], [], [], []
+        for _ in range(S):
+            dst = dists[-1]
+            py = ray_pos.y + ray_dir.y * dst
+            gd = py + opts.groundY
+            take1 = gd < 1e5
+            res_d = jnp.where(take1, gd, jnp.full_like(gd, 1e5))
+            res_m = jnp.where(take1, gd, jnp.full_like(gd, -1.0))
+            pys.append(py)
+            gds.append(gd)
+            resds.append(res_d)
+            resms.append(res_m)
+            dists.append(dst + res_d)
+        lad = jnp.stack(dists, axis=1)  # (N, S+1)
+        dist_s = lad[:, :S]
+        py_s = jnp.stack(pys, axis=1)
+        gd_s = jnp.stack(gds, axis=1)
+        resd_s = jnp.stack(resds, axis=1)
+        resm_s = jnp.stack(resms, axis=1)
+
+        pos_s = V3(
+            ray_pos.x[:, None] + ray_dir.x[:, None] * dist_s,
+            py_s,
+            ray_pos.z[:, None] + ray_dir.z[:, None] * dist_s,
+        )
+        d_s = V3(ray_dir.x[:, None], ray_dir.y[:, None], ray_dir.z[:, None])
+        exit_s = intersects_box(bmin, bmax, pos_s, d_s) >= 0.0
+        md = max_dist[:, None] if jnp.ndim(max_dist) else max_dist
+        done_s = (jnp.abs(resd_s) <= opts.eps) | (dist_s >= md)
+        iota = jnp.arange(S, dtype=_I32)[None, :]
+        fin_s = done_s | ((c["s"][:, None] + iota + 1) >= max_steps)
+
+        go = ~exit_s & ~fin_s  # the serial loop keeps stepping this lane
+        pend = g0[:, None] & _prefix_and_excl(go)  # step i is processed
+        ev_exit = pend & exit_s
+        act = pend & ~exit_s  # the serial a_i (incl. the fin step)
+        n_act = jnp.sum(act, axis=1, dtype=_I32)
+        n_adv = jnp.sum(act & ~done_s, axis=1, dtype=_I32)  # dist advances
+
+        has_exit = jnp.any(ev_exit, axis=1)
+        has_fin = jnp.any(act & fin_s, axis=1)
+        mode = jnp.where(
+            has_exit,
+            _I32(_M_SETUP),
+            jnp.where(has_fin, _I32(_M_DONE), c["mode"]),
+        )
+        # dist after n_adv ladder advances (one-hot over S+1 entries;
+        # non-GROUND lanes have n_adv == 0 -> ladder[0] == c["dist"])
+        iota1 = jnp.arange(S + 1, dtype=_I32)[None, :]
+        dist = _select_f32(iota1 == n_adv[:, None], lad)
+        out = {**c, "mode": mode, "s": c["s"] + n_act, "dist": dist}
+        if not lean:  # write-only outputs: last active step's values
+            wrote = n_act > 0
+            last = act & (iota == (n_act - 1)[:, None])
+            out["dist_prev"] = jnp.where(
+                wrote, _select_f32(last, dist_s), c["dist_prev"]
+            )
+            out["obj"] = jnp.where(
+                wrote, _select_f32(last, resm_s).astype(_I32), c["obj"]
+            )
+            out["ovox"] = jnp.where(wrote, False, c["ovox"])
+            out["hit"] = jnp.where(wrote, False, c["hit"])
+            out["gd"] = jnp.where(wrote, _select_f32(last, gd_s), c["gd"])
+        return out
 
     def cond(c):
         live = jnp.any(c["mode"] != _M_DONE)

@@ -13,6 +13,8 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   7. brick edge 16 vs 8 (accel.set_brick; Accel.edge retraces by itself)
   8. lane-stacked light shadows on/off (shade.STACK_LIGHT_SHADOWS; the
      metal preset's 2 lights engage the stacked branch)
+  9. wide substep resolve on/off (march.WIDE_SUBSTEPS)
+ 10. wide ground block on/off (march.WIDE_GROUND)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -156,6 +158,33 @@ def main():
             accel_mod.set_brick(8)
         g, _ = render_mod.render_image(vol, opts, tables, accel=acc16)
         record("brick_edge_16", ref, g)
+
+    if run_inv("wide_substeps_on_off"):
+        # march-module flag (trace-time, needs the cache clear)
+        from raymarchcl_tpu.ops import march as march_mod
+
+        saved_ws = march_mod.WIDE_SUBSTEPS
+        try:
+            march_mod.WIDE_SUBSTEPS = not saved_ws
+            render_mod._render_jit.clear_cache()
+            w, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("wide_substeps_on_off", ref, w)
+        finally:
+            march_mod.WIDE_SUBSTEPS = saved_ws
+            render_mod._render_jit.clear_cache()
+
+    if run_inv("wide_ground_on_off"):
+        from raymarchcl_tpu.ops import march as march_mod
+
+        saved_wg = march_mod.WIDE_GROUND
+        try:
+            march_mod.WIDE_GROUND = not saved_wg
+            render_mod._render_jit.clear_cache()
+            w, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("wide_ground_on_off", ref, w)
+        finally:
+            march_mod.WIDE_GROUND = saved_wg
+            render_mod._render_jit.clear_cache()
 
     if run_inv("stacked_lights_on_off"):
         # shade-module flag (trace-time, needs the cache clear); metal has

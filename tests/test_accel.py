@@ -221,6 +221,118 @@ def test_brick_cache_bit_equal(scene):
         march.CACHE_FAST_ROUNDS = 2
 
 
+def test_wide_substeps_bit_equal(scene):
+    """Batched-substep resolve (march.WIDE_SUBSTEPS): identical per-element
+    expressions on (N, S) operands + exact first-event recovery, so raymarch
+    outputs must be EXACTLY equal to the serial substep loop on every
+    backend — full carry, lean shadow configuration, and a non-default
+    brick edge (the (N, S, W) word select at W=128)."""
+    vol, vol_np, opts, acc = scene
+    from raymarchcl_tpu.ops import accel as accel_mod
+
+    rng = np.random.default_rng(23)
+    n = 256
+    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    pv = V3.from_array(jnp.asarray(rp))
+    dv = V3.from_array(jnp.asarray(rd))
+    act = jnp.ones((n,), bool)
+    lmax = jnp.asarray(rng.uniform(0.5, 3.0, n).astype(np.float32))
+    accs = [acc]
+    old = accel_mod.BRICK
+    try:
+        accel_mod.set_brick(16)
+        accs.append(accel_mod.build_accel(vol_np, opts.voxelRes, opts.isoVal))
+    finally:
+        accel_mod.set_brick(old)
+
+    def full(a):
+        return march.raymarch(
+            vol, opts, pv, dv, opts.maxDist, opts.maxIter, True, act,
+            accel=a, want_stats=True,
+        )
+
+    def lean_shadow(a):
+        return march.raymarch(
+            vol, opts, pv, dv, lmax, opts.shadowIter, False, act,
+            want_normal=False, accel=a, truncate_to_max_dist=True,
+            want_object=False, want_stats=True,
+        )
+
+    assert march.WIDE_SUBSTEPS is True  # default ON since the HW A/B win
+    for a in accs:
+        try:
+            march.WIDE_SUBSTEPS = False  # serial-loop baseline
+            base_f, base_s = full(a), lean_shadow(a)
+        finally:
+            march.WIDE_SUBSTEPS = True
+        wf, ws = full(a), lean_shadow(a)
+        for k in ("distance", "object_id", "apps"):
+            np.testing.assert_array_equal(np.asarray(base_f[k]), np.asarray(wf[k]))
+        np.testing.assert_array_equal(
+            np.asarray(base_f["normal"].to_array()),
+            np.asarray(wf["normal"].to_array()),
+        )
+        for k in ("distance", "apps"):
+            np.testing.assert_array_equal(np.asarray(base_s[k]), np.asarray(ws[k]))
+
+
+def test_wide_ground_bit_equal(scene):
+    """Batched ground block (march.WIDE_GROUND): the serial dist ladder +
+    one wide (N, S) slab-test/bookkeeping block + exact first-event
+    recovery must be EXACTLY equal to the serial ground loop on every
+    backend — full carry and lean shadow configuration, at the default
+    FLAT_GROUND_STEPS and an odd depth (non-power-of-2 prefix-AND)."""
+    vol, vol_np, opts, acc = scene
+
+    rng = np.random.default_rng(31)
+    n = 256
+    # bias ray origins outside the box so plenty of lanes run GROUND mode
+    rp = rng.uniform(-4.0, 4.0, (n, 3)).astype(np.float32)
+    rp[:, 1] = rng.uniform(-0.2, 3.0, n).astype(np.float32)
+    rd = rng.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    pv = V3.from_array(jnp.asarray(rp))
+    dv = V3.from_array(jnp.asarray(rd))
+    act = jnp.ones((n,), bool)
+    lmax = jnp.asarray(rng.uniform(0.5, 3.0, n).astype(np.float32))
+
+    def full():
+        return march.raymarch(
+            vol, opts, pv, dv, opts.maxDist, opts.maxIter, True, act,
+            accel=acc, want_stats=True,
+        )
+
+    def lean_shadow():
+        return march.raymarch(
+            vol, opts, pv, dv, lmax, opts.shadowIter, False, act,
+            want_normal=False, accel=acc, truncate_to_max_dist=True,
+            want_object=False, want_stats=True,
+        )
+
+    assert march.WIDE_GROUND is True  # default ON since the HW A/B win
+    saved_gs = march.FLAT_GROUND_STEPS
+    for gs in (saved_gs, 7):
+        try:
+            march.FLAT_GROUND_STEPS = gs
+            march.WIDE_GROUND = False  # serial-loop baseline
+            base_f, base_s = full(), lean_shadow()
+            march.WIDE_GROUND = True
+            wf, ws = full(), lean_shadow()
+        finally:
+            march.WIDE_GROUND = True
+            march.FLAT_GROUND_STEPS = saved_gs
+        for k in ("distance", "object_id", "apps"):
+            np.testing.assert_array_equal(np.asarray(base_f[k]), np.asarray(wf[k]))
+        np.testing.assert_array_equal(
+            np.asarray(base_f["normal"].to_array()),
+            np.asarray(wf["normal"].to_array()),
+        )
+        for k in ("distance", "apps"):
+            np.testing.assert_array_equal(np.asarray(base_s[k]), np.asarray(ws[k]))
+
+
 def test_march_volume_bit_equal_with_caps(scene):
     """march_volume parity incl. the max_k / max_k_dyn truncation paths."""
     vol, _, opts, acc = scene
