@@ -128,6 +128,20 @@ DEFERRED_SHADE = True
 RESPILL = False
 RESPILL_CAP = 6  # while rounds (x FLAT_UNROLL applications per lane)
 
+# Active-lane compaction for the secondary loops of REFLECTIVE presets
+# (shade.shade_after_march_compact): stable-partition each bounce-march /
+# shadow / AO while_loop's lanes so actives pack into the leading bands and
+# all-inactive bands exit immediately. Motivated by the config-4 audit
+# (scripts/audit_config4.py): bounce-phase loops pay 34-132x their useful
+# applications because 3-17% active sets are smeared over every band;
+# offline reconstruction predicts paid secondary apps 70.4M -> 38.1M/pass
+# (1.85x) at 256^2 metal. Grouping-only => bit-equal on TPU (CPU tolerance:
+# FMA contraction, like every banding invariant). Distinct from the dead
+# RESPILL family: respill reassigned ROUNDS between bands of fully-active
+# lanes (conserved, no win); this removes bands' dead lanes entirely.
+# Trace-time constant — clear the render jit cache when flipping.
+COMPACT_SECONDARY = True
+
 
 def _morton10(x, y, z):
     """Interleave 3x10-bit coords -> 30-bit Morton key (int32)."""
@@ -319,7 +333,18 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
 
     # --- phase B: per-band shading (scene_color minus the primary march,
     # incl. the bounce loop for reflective presets) ----------------------
-    if RESPILL and opts.reflectIter == 0 and accel is not None:
+    if COMPACT_SECONDARY and opts.reflectIter > 0:
+        from .shade import shade_after_march_compact
+
+        isec_d = {"pos": ipos, "distance": idist, "object_id": iobj,
+                  "normal": inorm}
+        col = shade_after_march_compact(
+            vol, opts, table_t, tiles, px, py, mcn, rpos, rdir, isec_d,
+            accel, want_stats=stats,
+        )
+        if stats:
+            col, apps_b = col
+    elif RESPILL and opts.reflectIter == 0 and accel is not None:
         col, apps_b = _shade_respill(
             vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
             ipos, idist, iobj, inorm, accel,

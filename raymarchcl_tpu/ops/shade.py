@@ -18,6 +18,7 @@ Preserved reference quirks:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import sampling
@@ -457,3 +458,199 @@ def shade_after_march(
     if want_stats:
         out = out + (apps,)
     return out if len(out) > 1 else col
+
+
+# --- active-lane-compacted secondary loops (reflective presets) ------------
+#
+# The config-4 audit (scripts/audit_config4.py, 256^2 metal scatter, v5e)
+# measured the 12 secondary while_loops of a reflective pass paying 11.9x
+# their useful applications: bounce marches and bounce-hit shadow marches
+# have small active sets (3-17% of lanes) SMEARED across every cost band,
+# and a band charges its worst lane's rounds whether one lane is active or
+# all are. Stable-partitioning each loop's lanes so actives come first
+# (original cost-sorted order preserved within classes) packs the work into
+# the leading bands; all-inactive bands exit their while_loop on the first
+# condition check. Offline band reconstruction predicts paid secondary
+# applications 70.4M -> 38.1M per pass (1.85x) for config 4.
+#
+# Pure lane regrouping: per-lane march math is lane-independent (the
+# existing band-tiling invariant proves outputs don't depend on band
+# composition), so outputs are bit-equal on TPU; CPU tolerance-only like
+# every grouping invariant (FMA contraction). The permutation is two
+# cumsums + one scatter + gathers — no sort.
+
+
+def _compact_perm(act):
+    """Stable-partition rank for a boolean active mask: lane i's value lands
+    at compact slot rank[i]; active lanes occupy slots [0, n_active) in
+    original order. Two cumsums — no sort."""
+    a = act.astype(jnp.int32)
+    ca = jnp.cumsum(a)
+    return jnp.where(act, ca - 1, ca[-1] + jnp.cumsum(1 - a) - 1)
+
+
+def _pack_u32(tree):
+    """Bitcast a pytree of (N,) arrays (f32/i32/u32/bool) into one (N, K)
+    u32 matrix. Arbitrary-index data movement on this platform is priced
+    PER ROW, not per element (a <=256 B row gather costs ~1.6x ONE element
+    — PERFORMANCE.md round-2), so permuting one packed matrix beats K
+    separate element gathers ~K/1.6-fold. Bitcasts are exact (NaN payloads
+    included); bool rides as 0/1."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    cols = []
+    for l in leaves:
+        if l.dtype == jnp.bool_:
+            cols.append(l.astype(jnp.uint32))
+        elif l.dtype == jnp.uint32:
+            cols.append(l)
+        else:
+            cols.append(jax.lax.bitcast_convert_type(l, jnp.uint32))
+    return jnp.stack(cols, axis=-1), leaves, treedef
+
+
+def _unpack_u32(mat, leaves, treedef):
+    outs = []
+    for i, l in enumerate(leaves):
+        c = mat[:, i]
+        if l.dtype == jnp.bool_:
+            c = c.astype(jnp.bool_)
+        elif l.dtype != jnp.uint32:
+            c = jax.lax.bitcast_convert_type(c, l.dtype)
+        outs.append(c)
+    return jax.tree_util.tree_unflatten(treedef, outs)
+
+
+def _compact_banded(tiles, act, fn, ins):
+    """Run `fn` (dict of (nt,...) band arrays -> dict of band outputs,
+    containing a banded while-loop march) over `tiles` bands with the
+    active lanes compacted to the front. Returns full-frame outputs in the
+    caller's lane order. Data movement is ONE packed row scatter in + ONE
+    packed row gather out (see _pack_u32)."""
+    rank = _compact_perm(act)
+    mat, leaves, treedef = _pack_u32(ins)
+    mat_c = jnp.zeros_like(mat).at[rank].set(mat)
+    ins_c = _unpack_u32(mat_c, leaves, treedef)
+    n = act.shape[0]
+    nt = n // tiles
+    xs = jax.tree_util.tree_map(
+        lambda x: x.reshape((tiles, nt) + x.shape[1:]), ins_c)
+    _, out = jax.lax.scan(lambda c, x: (None, fn(x)), None, xs)
+    out = jax.tree_util.tree_map(
+        lambda x: x.reshape((n,) + x.shape[2:]), out)
+    mat_o, leaves_o, treedef_o = _pack_u32(out)
+    return _unpack_u32(jnp.take(mat_o, rank, axis=0), leaves_o, treedef_o)
+
+
+def shade_after_march_compact(
+    vol, opts, table_t, tiles, px, py, mc_normal: V3, ray_pos: V3,
+    ray_dir: V3, isec, accel=None, want_stats=False,
+):
+    """shade_after_march with every secondary while_loop (bounce marches,
+    shadow marches, AO probes) run over active-compacted cost bands.
+
+    Per-lane math follows shade_after_march / basic_scene_color /
+    object_lighting expression-for-expression (renderer.cl:348-445); only
+    the lane grouping of the secondary loops differs, so results are
+    bit-equal on TPU. Elementwise glue (light geometry, combine,
+    atmosphere) runs full-frame — banding only ever existed for the
+    while_loops. No respill/cap support (reflective presets are outside
+    RESPILL's domain)."""
+    n = ray_dir.x.shape[0]
+    apps = [jnp.zeros((n,), jnp.int32)]
+    sky = sky_gradient(opts, ray_dir)
+    hit = isec["distance"] < opts.maxDist  # renderer.cl:415
+    shade_act = hit
+    mat_idx = jnp.clip(isec["object_id"], 0, 3)
+    _, r0, smoothness = _mat_gather(opts, mat_idx)
+    norm_p = isec["normal"] + mc_normal * (1.0 / (smoothness * 200.0 + 5.0))
+
+    def march_fn(xs):
+        ret = raymarch(
+            vol, opts, xs["pos"], xs["dir"], opts.maxDist, opts.maxIter,
+            smooth=False, active=xs["act"], want_normal=True, accel=accel,
+            want_stats=want_stats,
+        )
+        out = {"pos": ret["pos"], "normal": ret["normal"],
+               "distance": ret["distance"], "object_id": ret["object_id"]}
+        if want_stats:
+            out["apps"] = ret["apps"]
+        return out
+
+    def shadow_fn(xs):
+        ret = shadow(vol, opts, xs["origin"], xs["ldir"], xs["lmax"],
+                     xs["act"], accel, want_stats=want_stats)
+        if want_stats:
+            return {"sf": ret[0], "apps": ret[1]}
+        return {"sf": ret}
+
+    def ao_fn(xs):
+        return {"ao": ambient_occlusion(
+            vol, opts, table_t, xs["pos"], xs["normal"], xs["act"], accel)}
+
+    def lighting(pos, view_dir, midx, normal, refl_col, act):
+        # object_lighting (renderer.cl:348-381), loops compact-banded
+        albedo_l, r0_l, sm_l = _mat_gather(opts, midx)
+        lt = light_geometry(opts, table_t, px, py, pos, view_dir, normal, act)
+        ao = _compact_banded(
+            tiles, act, ao_fn, {"pos": pos, "normal": normal, "act": act}
+        )["ao"]
+        sfs = []
+        for l in lt:
+            ret = _compact_banded(
+                tiles, l["act"], shadow_fn,
+                {"origin": l["origin"], "ldir": l["ldir"], "lmax": l["lmax"],
+                 "act": l["act"]},
+            )
+            sfs.append(ret["sf"])
+            if want_stats:
+                apps[0] = apps[0] + ret["apps"]
+        return light_combine(
+            opts, view_dir, normal, albedo_l, r0_l, sm_l, refl_col, ao, lt, sfs
+        )
+
+    if opts.reflectIter > 0:
+        b_active = shade_act & (r0 > 0.0)
+        acc = V3.const((0.0, 0.0, 0.0), like=r0)
+        r_dir, r_pos, r_norm = ray_dir, isec["pos"], norm_p
+        for _ in range(opts.reflectIter):
+            r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
+            bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
+            bisec = _compact_banded(
+                tiles, b_active, march_fn,
+                {"pos": bounce_origin, "dir": r_dir, "act": b_active},
+            )
+            if want_stats:
+                apps[0] = apps[0] + bisec["apps"]
+            # basic_scene_color (renderer.cl:383-405), loops compact-banded
+            b_sky = sky_gradient(opts, r_dir)
+            b_hit = bisec["object_id"] >= 0
+            b_mat = jnp.clip(bisec["object_id"], 0, 3)
+            refl_sky = sky_gradient(opts, reflect(r_dir, bisec["normal"]))
+            lit_b = lighting(
+                bisec["pos"], r_dir, b_mat, bisec["normal"], refl_sky,
+                b_active & b_hit,
+            )
+            col_i = where3(b_hit, lit_b, b_sky)
+            col_i = apply_atmosphere(
+                opts, table_t, px, py, bounce_origin, r_dir,
+                bisec["distance"], col_i,
+            )
+            acc = where3(b_active, acc + col_i, acc)
+            b_r0 = jnp.take(opts.mat_r0, b_mat)
+            b_active = b_active & b_hit & (b_r0 >= 0.001)  # renderer.cl:436-437
+            r_pos, r_norm = bisec["pos"], bisec["normal"]
+        reflect_col = where3(
+            r0 > 0.0, acc, sky_gradient(opts, reflect(ray_dir, norm_p))
+        )
+    else:
+        reflect_col = sky_gradient(opts, reflect(ray_dir, norm_p))
+
+    lit = lighting(isec["pos"], ray_dir, mat_idx, norm_p, reflect_col,
+                   shade_act)
+    col = where3(hit, lit, sky)
+    col = apply_atmosphere(
+        opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
+    )
+    if want_stats:
+        return col, apps[0]
+    return col

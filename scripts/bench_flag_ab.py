@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--vres", type=int, default=256)
     ap.add_argument("--mat", default="ao")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--volume", default="gyroid",
+                    help="gyroid | scatter (config 4's mesh-scatter volume)")
     args = ap.parse_args()
 
     from raymarchcl_tpu.api import build_accel_for, default_volume
@@ -49,7 +51,18 @@ def main():
            "shade": shade_ns}[modname]
     saved = getattr(mod, flag)
 
-    volume_np, vres = default_volume((args.vres,) * 3)
+    if args.volume == "scatter":
+        import os
+
+        from raymarchcl_tpu.models import mesh
+
+        stl = os.path.join(os.path.dirname(__file__), "..", "assets",
+                           "trefoil.stl")
+        volume_np = mesh.voxelize_scatter(mesh.read_stl(stl), args.vres,
+                                          seed=3)
+        vres = (args.vres,) * 3
+    else:
+        volume_np, vres = default_volume((args.vres,) * 3)
     vol = jnp.asarray(volume_np, jnp.uint8)
     opts = render_options(
         width=args.size, height=args.size, vres=list(vres), iter=args.spp,

@@ -15,6 +15,8 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
      metal preset's 2 lights engage the stacked branch)
   9. wide substep resolve on/off (march.WIDE_SUBSTEPS)
  10. wide ground block on/off (march.WIDE_GROUND)
+ 11. active-lane-compacted secondary loops on/off
+     (render.COMPACT_SECONDARY; metal's bounces engage the compact path)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -185,6 +187,15 @@ def main():
         finally:
             march_mod.WIDE_GROUND = saved_wg
             render_mod._render_jit.clear_cache()
+
+    if run_inv("compact_secondary_on_off"):
+        # metal (reflectIter=3) engages the compact path; ref has it ON
+        saved = flag_flip(COMPACT_SECONDARY=False)
+        try:
+            k, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("compact_secondary_on_off", ref, k)
+        finally:
+            flag_flip(**saved)
 
     if run_inv("stacked_lights_on_off"):
         # shade-module flag (trace-time, needs the cache clear); metal has

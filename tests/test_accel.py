@@ -605,6 +605,76 @@ def test_respill_shade_matches(scene):
         render_mod.RESPILL = saved
 
 
+def test_compact_secondary_matches(scene):
+    """Active-lane-compacted secondary loops (render.COMPACT_SECONDARY +
+    shade.shade_after_march_compact) vs the monolithic shade band, on a
+    reflective preset (metal: 3 bounces, 2 lights) where the compact path
+    engages. Grouping-only — bit-equal on TPU (scripts/tpu_invariants.py
+    compact_secondary_on_off); CPU gets the standard FMA-contraction
+    allowance like every banding invariant."""
+    vol, _, _, _ = scene
+    opts = render_options(
+        width=256, height=48, vres=[32, 32, 96], iter=3, mat="metal",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    acc = accel_mod.build_accel(
+        generators.make_gyroid_volume({"vres": [32, 32, 96]}),
+        opts.voxelRes, opts.isoVal,
+    )
+    assert render_mod.auto_tiles(opts.num_pixels) > 1  # deferred path active
+    assert opts.reflectIter > 0  # the compact path's domain
+    tables = make_mc_tables(3, seed=7)
+    times = jnp.arange(3, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+    saved = render_mod.COMPACT_SECONDARY
+    try:
+        outs = {}
+        for flag in (False, True):
+            render_mod.COMPACT_SECONDARY = flag
+            outs[flag] = np.asarray(
+                render_mod.render_accum(vol, opts, tables, times, accum0,
+                                        accel=acc)
+            )
+        a, b = outs[False], outs[True]
+        rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
+        bad = (rel.max(axis=1) > 1e-3).mean()
+        assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift"
+        np.testing.assert_allclose(np.median(a, 0), np.median(b, 0), rtol=1e-5)
+    finally:
+        render_mod.COMPACT_SECONDARY = saved
+
+
+def test_compact_perm_partition():
+    """_compact_perm is a stable-partition rank (actives first, original
+    order within classes), and the packed scatter-in / gather-out
+    round-trips bit-exactly for every leaf dtype."""
+    from raymarchcl_tpu.ops import shade
+
+    rng = np.random.default_rng(5)
+    act = jnp.asarray(rng.random(4096) < 0.23)
+    rank = np.asarray(shade._compact_perm(act))
+    a = np.asarray(act)
+    n_act = int(a.sum())
+    # rank is a permutation; actives land at [0, n_act) in original order
+    np.testing.assert_array_equal(np.sort(rank), np.arange(4096))
+    np.testing.assert_array_equal(np.sort(rank[a]), np.arange(n_act))
+    assert (np.diff(rank[a]) > 0).all() and (np.diff(rank[~a]) > 0).all()
+    # packed round-trip: scatter-by-rank then gather-by-rank is identity,
+    # exact for f32 (incl. NaN/-0.0), int32, bool
+    f = rng.standard_normal(4096).astype(np.float32)
+    f[:4] = [np.nan, -0.0, np.inf, -np.inf]
+    tree = {"f": jnp.asarray(f), "i": jnp.asarray(rng.integers(-2**31, 2**31 - 1, 4096, dtype=np.int32)), "b": act}
+    mat, leaves, tdef = shade._pack_u32(tree)
+    mat_c = jnp.zeros_like(mat).at[jnp.asarray(rank)].set(mat)
+    back = shade._unpack_u32(
+        jnp.take(mat_c, jnp.asarray(rank), axis=0), leaves, tdef)
+    np.testing.assert_array_equal(
+        np.asarray(back["f"]).view(np.uint32), f.view(np.uint32))
+    np.testing.assert_array_equal(np.asarray(back["i"]), np.asarray(tree["i"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]), a)
+
+
 def test_capped_raymarch_resolved_lanes_exact(scene):
     """cap_rounds semantics: resolved lanes' outputs are bit-identical to
     the uncapped march (lane independence in the flat engine), and a
