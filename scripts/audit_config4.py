@@ -35,7 +35,13 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--vres", type=int, default=128)
     ap.add_argument("--mat", default="metal")
+    ap.add_argument("--volume", default="scatter",
+                    help="scatter (config 4) | gyroid (headline-style)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--study-keys", action="store_true",
+                    help="also evaluate per-loop history keys (pass-1 "
+                         "per-loop apps, 5x5 max filter) as each loop's "
+                         "within-active compaction order")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -54,8 +60,15 @@ def main():
     from raymarchcl_tpu.ops.vecmath import V3, dot, normalize, reflect, where3
     from raymarchcl_tpu.options import render_options
 
-    stl = os.path.join(os.path.dirname(__file__), "..", "assets", "trefoil.stl")
-    volume_np = mesh.voxelize_scatter(mesh.read_stl(stl), args.vres, seed=3)
+    if args.volume == "gyroid":
+        from raymarchcl_tpu.api import default_volume
+
+        volume_np, _ = default_volume((args.vres,) * 3)
+    else:
+        stl = os.path.join(os.path.dirname(__file__), "..", "assets",
+                           "trefoil.stl")
+        volume_np = mesh.voxelize_scatter(mesh.read_stl(stl), args.vres,
+                                          seed=3)
     vol = jnp.asarray(volume_np, jnp.uint8)
     opts = render_options(
         width=args.size, height=args.size, vres=[args.vres] * 3, iter=2,
@@ -242,6 +255,32 @@ def main():
         paid_compact=tc, paid_compact_key=tk, paid_compact_oracle=to,
         compact_cut=round(tp / max(tc, 1), 2),
         key_cut=round(tp / max(tk, 1), 2))
+
+    if args.study_keys:
+        # per-loop HISTORY keys: pass 1 re-run with per-loop stats (natural
+        # pixel order), each pass-2 loop compacted+ordered by the 5x5-max
+        # filter of ITS OWN pass-1 apps (what a per-loop decaying-max carry
+        # would provide)
+        out1 = jax.device_get(stage_all(
+            vol, opts.replace(time=times[0]), transpose_table(tables[0]),
+            jnp.arange(n, dtype=jnp.int32), accel)[0])
+        th = 0
+        hist_rows = {}
+        for name, (apps, act) in out.items():
+            if name == "primary_march" or name not in out1:
+                continue
+            apps = np.asarray(apps)
+            act = np.asarray(act)
+            prev = np.asarray(_maxfilt2d(
+                jnp.asarray(np.asarray(out1[name][0])), w, 5))
+            k = prev[order_a].astype(np.int64)  # pass-2 lanes are order_a
+            key = np.where(act, k, np.int64(1) << 40)
+            paid_h = band_paid_order(apps, np.argsort(key, kind="stable"))
+            hist_rows[name] = paid_h
+            th += paid_h
+        rows["history_key_paid"] = hist_rows
+        rows["TOTAL_secondary"]["paid_history_key"] = th
+        rows["TOTAL_secondary"]["history_cut"] = round(tp / max(th, 1), 2)
     print(json.dumps(dict(
         config=f"{args.size}^2/{args.mat}/vres{args.vres}/scatter",
         tiles=tiles, rows=rows), indent=1))
