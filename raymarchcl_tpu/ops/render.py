@@ -143,6 +143,27 @@ RESPILL_CAP = 6  # while rounds (x FLAT_UNROLL applications per lane)
 COMPACT_SECONDARY = True
 
 
+# Pass-stacking: render PASS_STACK spp passes of the same pixel band as ONE
+# batched program (jax.vmap over the deferred pass), blending the per-pass
+# colors sequentially afterwards — value-identical by construction (the
+# sequential post-blend keeps the reference's exponential accumulation
+# order), BIT-EQUAL on v5e. Within a stacked group all passes share the
+# group-entry cost maps (scheduling-only difference).
+#
+# MEASURED SLOWER — kept OFF as a recorded negative result + round-4
+# harness (scripts/bench_pass_stack.py, v5e headline: P=1 4.70 s, P=2
+# 5.20, P=4 5.30, P=8 5.26, all bit-equal). The motivating probe
+# (scripts/bench_width_scaling.py) shows a while-body's TRAILING axis
+# carries W independent lanes at 0.88-1.37x the 1-D cost (2.3-2.9x
+# throughput) — but jax.vmap batches every intermediate at dim 0, and
+# batch-LEADING (P, N) scales near-linearly (2.2x worse than (N, P) at
+# P=4). The win requires carries literally laid out (N, P) with P minor —
+# a manual engine refactor (PERFORMANCE.md round-3 session-5), for which
+# this branch's blend/cost plumbing and A/B script are the validation
+# harness. Trace-time constant — clear the render jit cache when flipping.
+PASS_STACK = 1  # passes per stacked group (1 = off); iter must divide
+
+
 def _morton10(x, y, z):
     """Interleave 3x10-bit coords -> 30-bit Morton key (int32)."""
 
@@ -258,7 +279,7 @@ def _shade_respill(vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
 
 
 def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
-                          prev_cost=None):
+                          prev_cost=None, return_col=False):
     """Deferred pass; with `prev_cost` ({'a','b'}: per-pixel march/shade
     applications of the PREVIOUS pass) bands are COST-SORTED:
 
@@ -378,6 +399,8 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
             "a": jnp.zeros((n,), jnp.int32).at[order_a].set(apps_a),
             "b": jnp.zeros((n,), jnp.int32).at[perm_total].set(apps_b),
         }
+        if return_col:  # pass-stacked caller blends sequentially itself
+            return col_unsorted, new_cost
         return accum + (col_unsorted - accum) * opts.frameBlend, new_cost
     col_unsorted = jnp.zeros_like(col_a).at[perm].set(col_a)
     return accum + (col_unsorted - accum) * opts.frameBlend
@@ -398,6 +421,43 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     tiles = auto_tiles(n)
     while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
         tiles //= 2
+    if (tiles > 1 and DEFERRED_SHADE and PASS_STACK > 1
+            and times.shape[0] % PASS_STACK == 0):
+        from .march import _carry_vma
+        from .sampling import transpose_table
+
+        p = PASS_STACK
+        ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
+        zero = jnp.zeros((n,), jnp.int32)
+        cost0 = _carry_vma({"a": zero, "b": zero}, accum)
+
+        def one(t, table, cost):
+            return _render_pass_deferred(
+                vol, opts.replace(time=t), transpose_table(table), None,
+                ids_m, accel, tiles, prev_cost=cost, return_col=True,
+            )
+
+        def step(carry, xs):
+            acc, cost = carry
+            ts, tabs = xs  # (p,), (p, L, 4)
+            cols, new_costs = jax.vmap(one, in_axes=(0, 0, None))(ts, tabs, cost)
+            # sequential exponential blend + decaying-max cost updates, in
+            # pass order — identical VALUES to the unstacked scan (the blend
+            # is associated exactly as the reference's, renderer.cl:478-494)
+            for i in range(p):
+                acc = acc + (cols[i] - acc) * opts.frameBlend
+                cost = jax.tree_util.tree_map(
+                    lambda newc, old: jnp.maximum(newc[i], old - (old >> 2)),
+                    new_costs, cost,
+                )
+            return (acc, cost), None
+
+        (accum, _), _ = jax.lax.scan(
+            step, (accum, cost0),
+            (times.reshape(-1, p),
+             mc_tables.reshape((-1, p) + mc_tables.shape[1:])),
+        )
+        return accum
     if tiles > 1 and DEFERRED_SHADE:
         from .march import _carry_vma
 

@@ -242,6 +242,60 @@ def main():
         timeit_3d(4096, p, 16, 60, flatten=False)
         timeit_3d(4096, p, 16, 60, flatten=True)
 
+    # Batch-LEADING (P, N) — the layout jax.vmap produces (batch axis 0 on
+    # every intermediate). Measured near-linear (v5e: (4,4096) = 2.2x the
+    # (4096,4) cost), which is why the vmap-based render.PASS_STACK
+    # prototype ran 11% SLOWER: the trailing-axis win requires carries to
+    # be literally (N, P) — a manual engine refactor, not a vmap.
+    def timeit_narrow_lead(p, n, depth):
+        def build_run():
+            def band(carry, _):
+                st, acc = carry  # (p, n)
+
+                def body(c):
+                    k, st, acc = c
+                    idx = (st.astype(jnp.int32) & (args.table - 1)).reshape(-1)
+                    g = acc_tab[idx, 0].reshape(p, n)
+                    x = st
+                    for i in range(depth):
+                        x = x * 1.0000001 + jnp.float32(i & 7) * 1e-7
+                    st = x + g * 1e-6
+                    return k + 1, st, acc + st.sum() * 1e-12
+
+                k, st, acc = jax.lax.while_loop(
+                    lambda c: c[0] < args.rounds, body, (jnp.int32(0), st, acc)
+                )
+                return (st, acc), acc
+
+            acc_tab = None
+
+            def run(tab, st0):
+                nonlocal acc_tab
+                acc_tab = tab
+                (st, acc), _ = jax.lax.scan(
+                    band, (st0, jnp.float32(0.0)), None, length=args.bands
+                )
+                return acc
+
+            return run
+
+        run = jax.jit(build_run())
+        st0 = jnp.asarray(np.random.RandomState(1).rand(p, n).astype(np.float32))
+        float(run(table, st0))
+        best = 1e9
+        for rep in range(3):
+            s = st0 + np.float32(1e-5 * (rep + 1))
+            t0 = time.perf_counter()
+            float(run(table, s))
+            best = min(best, time.perf_counter() - t0)
+        us = best / (args.rounds * args.bands) * 1e6
+        print(f"  ({p}, {n}) batch-leading  {us:8.1f} us/round  "
+              f"{us / (p * n / 1024):8.2f} us/round/Klane", flush=True)
+
+    print("batch-LEADING (P, N) narrow-op control (the vmap layout):")
+    for p in (2, 4, 8):
+        timeit_narrow_lead(p, 4096, 400)
+
 
 if __name__ == "__main__":
     main()

@@ -747,6 +747,39 @@ def test_cost_sorted_accum_matches_sequential(scene):
     )
 
 
+def test_pass_stacked_accum_matches_sequential(scene):
+    """render.PASS_STACK: P vmap-stacked passes + sequential post-blend vs
+    the plain per-pass scan. Per-pass values are computed by the identical
+    (batched) program and the blend association is unchanged, so this is
+    grouping-only: bit-equal on TPU, tolerance on CPU (batching changes FMA
+    contraction opportunities, like every banding invariant here)."""
+    vol, _, _, acc = scene
+    opts = render_options(
+        width=256, height=48, vres=[32, 32, 96], iter=4, mat="ao",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    n = opts.num_pixels
+    assert render_mod.auto_tiles(n) > 1  # deferred path is active
+    tables = make_mc_tables(4, seed=7)
+    times = jnp.arange(4, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((n, 3), jnp.float32)
+    want = np.asarray(
+        render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
+    )
+    try:
+        render_mod.PASS_STACK = 2
+        got = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
+        )
+    finally:
+        render_mod.PASS_STACK = 1
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+    bad = (rel.max(axis=1) > 1e-3).mean()
+    assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift tolerance"
+    np.testing.assert_allclose(np.median(got, 0), np.median(want, 0), rtol=1e-5)
+
+
 @pytest.mark.parametrize("edge", [4, 16])
 def test_brick_edge_bit_equal(scene, edge):
     """accel.set_brick: the march contracts hold at any brick edge B
