@@ -390,59 +390,65 @@ WORD_SELECT_TREE = False
 
 
 def _select_word(words, idx):
-    """words: (N, W) uint32, idx: (N,) int32 in [0, W') — returns
-    words[lane, idx[lane]] as (N,) uint32, 0 where idx >= W (matching the
-    one-hot formulation's empty sum). Pure selects — exact."""
-    n, w = words.shape
+    """words: (..., W) uint32, idx: (...,) int32 in [0, W') — returns
+    words[lane, idx[lane]] as (...,) uint32, 0 where idx >= W (matching the
+    one-hot formulation's empty sum). Pure selects — exact. Lane dims are
+    trailing-generic: (N,) today, (N, P) for stacked trailing lanes."""
+    w = words.shape[-1]
     p = 1
     while p < w:
         p *= 2
     if p != w:
-        words = jnp.concatenate(
-            [words, jnp.zeros((n, p - w), words.dtype)], axis=1
-        )
+        pad = jnp.zeros(words.shape[:-1] + (p - w,), words.dtype)
+        words = jnp.concatenate([words, pad], axis=-1)
     while p > 1:
         h = p // 2
         hi_bit = (idx & h) != 0
-        words = jnp.where(hi_bit[:, None], words[:, h:p], words[:, :h])
+        words = jnp.where(hi_bit[..., None], words[..., h:p], words[..., :h])
         p = h
-    return words[:, 0]
+    return words[..., 0]
 
 
 def _word_at(words, idx):
     """Dispatch: tree select or the one-hot compare+sum (identical values)."""
     if WORD_SELECT_TREE:
         return _select_word(words, idx)
-    iota = jnp.arange(words.shape[1], dtype=_I32)[None, :]
+    iota = jnp.arange(words.shape[-1], dtype=_I32)
     return jnp.sum(
-        jnp.where(iota == idx[:, None], words, jnp.uint32(0)), axis=1
+        jnp.where(iota == idx[..., None], words, jnp.uint32(0)), axis=-1
     )
 
 
 def _mxu_rows(table_mxu, bid, n_words):
     """Row gather as a one-hot matmul on the MXU (EXACT — see
     accel.ONEHOT_MAX_ROWS): onehot(bid) @ byte_planes, then reassemble
-    u32 words from the four byte columns. bid must be pre-clipped."""
+    u32 words from the four byte columns. bid must be pre-clipped.
+    bid: (...,) — lane dims flatten through the matmul."""
     nb = table_mxu.shape[0]
-    oh = (bid[:, None] == jnp.arange(nb, dtype=bid.dtype)[None, :]).astype(
+    bid_f = bid.reshape(-1)
+    oh = (bid_f[:, None] == jnp.arange(nb, dtype=bid.dtype)[None, :]).astype(
         jnp.float32
     )
-    b = oh @ table_mxu  # (N, 4*n_words); one nonzero per sum -> exact
-    b = b.reshape(b.shape[0], n_words, 4).astype(jnp.uint32)
+    b = oh @ table_mxu  # (L, 4*n_words); one nonzero per sum -> exact
+    b = b.reshape(bid.shape + (n_words, 4)).astype(jnp.uint32)
     return (
-        b[:, :, 0]
-        | (b[:, :, 1] << 8)
-        | (b[:, :, 2] << 16)
-        | (b[:, :, 3] << 24)
+        b[..., 0]
+        | (b[..., 1] << 8)
+        | (b[..., 2] << 16)
+        | (b[..., 3] << 24)
     )
 
 
 def _gather_rows(accel_rows, accel_mxu, bid, n_words):
     """March/normal row fetch: MXU one-hot path for small tables, XLA take
-    otherwise."""
+    otherwise. bid: (...,) int32 -> (..., n_words) rows (flatten/reshape
+    keeps the gather's start indices 1-D — the fast emitter form)."""
     if accel_mxu is not None:
         return _mxu_rows(accel_mxu, bid, n_words)
-    return jnp.take(accel_rows, bid, axis=0, mode="clip")
+    if bid.ndim == 1:
+        return jnp.take(accel_rows, bid, axis=0, mode="clip")
+    rows = jnp.take(accel_rows, bid.reshape(-1), axis=0, mode="clip")
+    return rows.reshape(bid.shape + (accel_rows.shape[1],))
 
 
 def _probe_landing(opts, p0: V3, delta: V3, k, edge):
