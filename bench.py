@@ -127,6 +127,11 @@ def run(size, spp, vres, mat, reps, use_accel, invariants=None):
     # primary rays only (secondary shadow/AO/bounce rays excluded -> a
     # conservative Mrays/s; per-pixel work is far higher for :metal)
     mrays = size * size * spp / frame_time / 1e6
+    # full per-ray budget model (BASELINE.md "Mrays/sec/chip"): primary +
+    # shadow/AO/bounce secondaries per hit — utils/metrics.estimated_total_rays
+    from raymarchcl_tpu.utils.metrics import estimated_total_rays
+
+    total_mrays = estimated_total_rays(opts, spp) / frame_time / 1e6
     baseline = 1.0  # north-star: < 1 s/frame (BASELINE.md)
     print(
         json.dumps(
@@ -136,6 +141,7 @@ def run(size, spp, vres, mat, reps, use_accel, invariants=None):
                 "unit": "s",
                 "vs_baseline": round(baseline / frame_time, 4),
                 "mrays_per_sec": round(mrays, 2),
+                "total_mrays_per_sec": round(total_mrays, 2),
                 "accel": use_accel,
                 "device": str(jax.devices()[0]),
                 "samples": [round(s, 4) for s in samples],

@@ -149,11 +149,20 @@ def _bounds_and_index(opts, q: V3):
     return valid, jnp.where(valid, idx, 0)
 
 
+def _take_flat(arr, idx, mode="clip"):
+    """1-D table gather with multi-dim lane indices flattened: keeps the
+    gather's start indices 1-D (the fast emitter form; a 2-D-start-index
+    gather costs ~100 us/round more at 4096 lanes, PERFORMANCE.md)."""
+    if idx.ndim == 1:
+        return jnp.take(arr, idx, mode=mode)
+    return jnp.take(arr, idx.reshape(-1), mode=mode).reshape(idx.shape)
+
+
 def voxel_fetch(vol, opts, q: V3):
     """Bounds-checked byte fetch at integer coords -> (value int32 with -1
     OOB, valid mask). The gather itself is uint8 (minimal HBM traffic)."""
     valid, idx = _bounds_and_index(opts, q)
-    v = jnp.take(vol, idx, mode="clip").astype(_I32)
+    v = _take_flat(vol, idx).astype(_I32)
     return jnp.where(valid, v, -1), valid
 
 
@@ -171,7 +180,7 @@ def occupancy_i(vol, opts, q):
     if not isinstance(q, V3):
         q = V3.from_array(q)
     valid, idx = _bounds_and_index(opts, q)
-    v = jnp.take(vol, idx, mode="clip")
+    v = _take_flat(vol, idx)
     return jnp.where(valid & (v >= jnp.uint8(opts.isoVal)), 1.0, 0.0).astype(_F32)
 
 
@@ -224,7 +233,7 @@ def _occ5_superbrick(accel, opts, q: V3):
     )
     bid = jnp.where(inb, (ez * (nby + 2) + ey) * (nbx + 2) + ex, 0)
     row = _gather_rows(accel.nrm_rows, accel.nrm_mxu, bid, NRM_ROW_WORDS)
-    row = jnp.where(inb[:, None], row, jnp.uint32(0))
+    row = jnp.where(inb[..., None], row, jnp.uint32(0))
 
     u0x = (q.x & 7).astype(jnp.uint32)  # window coord of q-2 per axis
     u0y, u0z = q.y & 7, q.z & 7
@@ -259,14 +268,15 @@ def voxel_normal_smooth(vol, opts, q: V3, accel=None) -> V3:
     gradients by shifted slicing of the (5, 5, 5, N) occupancy block.
     """
     if accel is not None:
-        occ = _occ5_superbrick(accel, opts, q)  # [dx, dy, dz, ray]
+        occ = _occ5_superbrick(accel, opts, q)  # [dx, dy, dz, ray...]
     else:
+        off = lambda o: jnp.asarray(o).reshape((125,) + (1,) * q.x.ndim)
         qq = V3(
-            q.x[None, :] + jnp.asarray(_OX5)[:, None],
-            q.y[None, :] + jnp.asarray(_OY5)[:, None],
-            q.z[None, :] + jnp.asarray(_OZ5)[:, None],
+            q.x[None] + off(_OX5),
+            q.y[None] + off(_OY5),
+            q.z[None] + off(_OZ5),
         )
-        occ = occupancy_i(vol, opts, qq).reshape(5, 5, 5, q.x.shape[0])
+        occ = occupancy_i(vol, opts, qq).reshape((5, 5, 5) + q.x.shape)
     c = occ[1:4, 1:4, 1:4]
     gx = occ[2:5, 1:4, 1:4] - occ[0:3, 1:4, 1:4]
     gy = occ[1:4, 2:5, 1:4] - occ[1:4, 0:3, 1:4]
@@ -315,6 +325,10 @@ def march_volume(
     if accel is not None:
         return _march_volume_brick(
             opts, accel, p0, delta, steps, active, max_k=max_k, max_k_dyn=max_k_dyn
+        )
+    if p0.x.ndim != 1:
+        raise ValueError(
+            "stacked (N, P) lanes require the brick accel engine"
         )
     if chunk is None:
         chunk = MARCH_CHUNK
@@ -377,42 +391,15 @@ def march_volume(
     return hit, hit_k
 
 
-# Word extraction from a (N, W) row by per-lane index: binary select tree
-# (log2(W) halving selects) vs the (N, W)-broadcast one-hot compare+sum.
-# Both are exact u32 selects of the same word. MEASURED DEAD on v5e
-# (scripts/bench_flag_ab.py --flag march.WORD_SELECT_TREE:
-# headline 6.81 s -> 17.88 s, bit-equal):
-# ops on (N, W<=128) cost the same as on (N,) — the last dim rides the
-# 128-lane axis — so the one-hot's 3 wide ops beat the tree's ~15 narrow
-# dependent selects. While-body cost on this platform scales with OP
-# COUNT / serial depth, not operand width. Keep False.
-WORD_SELECT_TREE = False
-
-
-def _select_word(words, idx):
-    """words: (..., W) uint32, idx: (...,) int32 in [0, W') — returns
-    words[lane, idx[lane]] as (...,) uint32, 0 where idx >= W (matching the
-    one-hot formulation's empty sum). Pure selects — exact. Lane dims are
-    trailing-generic: (N,) today, (N, P) for stacked trailing lanes."""
-    w = words.shape[-1]
-    p = 1
-    while p < w:
-        p *= 2
-    if p != w:
-        pad = jnp.zeros(words.shape[:-1] + (p - w,), words.dtype)
-        words = jnp.concatenate([words, pad], axis=-1)
-    while p > 1:
-        h = p // 2
-        hi_bit = (idx & h) != 0
-        words = jnp.where(hi_bit[..., None], words[..., h:p], words[..., :h])
-        p = h
-    return words[..., 0]
-
-
 def _word_at(words, idx):
-    """Dispatch: tree select or the one-hot compare+sum (identical values)."""
-    if WORD_SELECT_TREE:
-        return _select_word(words, idx)
+    """words: (..., W) uint32, idx: (...,) int32 — words[lane, idx[lane]]
+    as a one-hot compare+sum (0 where idx >= W). Exact; lane dims are
+    trailing-generic: (N,) or (N, P) for stacked trailing lanes.
+
+    Deliberately NOT a binary select tree: ops on (N, W<=128) cost the same
+    as on (N,) — the trailing dim rides the 128-lane axis — so the one-hot's
+    3 wide ops beat a tree's ~15 narrow dependent selects (measured
+    6.81 s -> 17.88 s on v5e, PERFORMANCE.md round-3)."""
     iota = jnp.arange(words.shape[-1], dtype=_I32)
     return jnp.sum(
         jnp.where(iota == idx[..., None], words, jnp.uint32(0)), axis=-1
@@ -497,45 +484,38 @@ def _brick_probe(opts, accel, p0: V3, delta: V3, k, act, cap, inv_vps):
       dead   — lane finished by budget exhaustion (no stop recorded)
       cont   — lane continues next application at k_next (< cap)
       k_next — next landing for cont lanes
-      bid    — landing brick identity (-2 where out of grid)
-      rows   — the gathered (N, ROW_WORDS) rows (brick-cache carry source)
     """
     valid, bx, by, bz, bid = _probe_landing(opts, p0, delta, k, accel.edge)
     # (N, ROW_WORDS) with ROW_WORDS = edge^3/32 + 2 (18 at the default 8^3)
     rows = _gather_rows(accel.rows, accel.rows_mxu, bid, accel.rows.shape[1])
-    ev = _probe_resolve(
+    return _probe_resolve(
         opts, rows, p0, delta, k, act, cap, inv_vps, valid, bx, by, bz,
         accel.edge,
     )
-    ev["bid"] = jnp.where(valid, bid, -2)
-    ev["rows"] = rows
-    return ev
 
 
 def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
                    valid, bx, by, bz, edge):
     """Row-content half of a brick application (see _brick_probe): given
-    the landing's brick row — gathered, or a lane's cached copy whose
-    cbid == the landing bid (identical content, accel.rows is immutable) —
-    resolve skip/substep/stop events with pure vector ops. `edge` is the
-    table's Accel.edge; the row layout (STOP words, distance word) is
-    derived from it, never from the module globals."""
+    the landing's brick row, resolve skip/substep/stop events with pure
+    vector ops. `edge` is the table's Accel.edge; the row layout (STOP
+    words, distance word) is derived from it, never from the module
+    globals."""
     from .accel import BRICK_SUBSTEPS, SKIP_SLACK, STOP_W0
 
-    n = k.shape[0]
     shift = edge.bit_length() - 1
     mask = edge - 1
     dist_w = edge**3 // 32  # STOP words precede the distance word
-    assert rows.shape[1] == dist_w + 2, (rows.shape, edge)
+    assert rows.shape[-1] == dist_w + 2, (rows.shape, edge)
 
     # two voxels in bricks at brick-Chebyshev D are at voxel-Chebyshev
     # >= edge*D - (edge-1)
-    d_equiv = float(edge) * rows[:, dist_w].astype(_F32) - float(edge - 1)
+    d_equiv = float(edge) * rows[..., dist_w].astype(_F32) - float(edge - 1)
     # clip keeps the f32->i32 cast in-range (inv_vps can be 1e30 for
     # degenerate rays; 2^30 steps is "past any budget" either way)
     skip = jnp.clip((d_equiv - SKIP_SLACK) * inv_vps, 0.0, 2.0**30).astype(_I32)
 
-    stopw = rows[:, STOP_W0:dist_w]  # (N, edge^3/32)
+    stopw = rows[..., STOP_W0:dist_w]  # (..., edge^3/32)
 
     if WIDE_SUBSTEPS:
         return _resolve_substeps_wide(
@@ -544,8 +524,8 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         )
 
     brk = act & ~valid  # landing itself out of grid
-    hit = jnp.zeros((n,), bool)
-    dead = jnp.zeros((n,), bool)
+    hit = jnp.zeros(k.shape, bool)
+    dead = jnp.zeros(k.shape, bool)
     k_end = jnp.where(brk, k, 0)
     k_exit = k
     pend = act & valid & (skip == 0)
@@ -593,27 +573,30 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
 
 
 def _prefix_and_excl(go):
-    """Exclusive prefix-AND along the trailing axis: out[:, i] =
-    AND_{j<i} go[:, j] (out[:, 0] = True). Log-doubling with pad-and-slice
-    shifts — straight-line ops only (no scan: extra program regions inside
-    a while body cost more than the ops they save, PERFORMANCE.md)."""
-    nn, s = go.shape
-    p = jnp.concatenate([jnp.ones((nn, 1), bool), go[:, :-1]], axis=1)
+    """Exclusive prefix-AND along the trailing axis: out[..., i] =
+    AND_{j<i} go[..., j] (out[..., 0] = True). Log-doubling with
+    pad-and-slice shifts — straight-line ops only (no scan: extra program
+    regions inside a while body cost more than the ops they save,
+    PERFORMANCE.md). Lane dims are leading-generic ((N, S) or (N, P, S))."""
+    s = go.shape[-1]
+    p = jnp.concatenate([jnp.ones_like(go[..., :1]), go[..., :-1]], axis=-1)
     sh = 1
     while sh < s:
-        p = p & jnp.concatenate([jnp.ones((nn, sh), bool), p[:, :-sh]], axis=1)
+        p = p & jnp.concatenate(
+            [jnp.ones_like(p[..., :sh]), p[..., :-sh]], axis=-1
+        )
         sh *= 2
     return p
 
 
 def _select_f32(mask, vals):
-    """Exact one-hot f32 select along axis 1: sum the uint32 BIT PATTERNS
-    under the mask (at most one lane true per row). Unlike a float masked
-    sum this is exact for -0.0 and NaN payloads; rows with no true lane
-    yield +0.0 (callers gate those with a jnp.where)."""
+    """Exact one-hot f32 select along the trailing axis: sum the uint32 BIT
+    PATTERNS under the mask (at most one lane true per row). Unlike a float
+    masked sum this is exact for -0.0 and NaN payloads; rows with no true
+    lane yield +0.0 (callers gate those with a jnp.where)."""
     bits = jax.lax.bitcast_convert_type(vals, jnp.uint32)
     sel = jnp.sum(
-        jnp.where(mask, bits, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+        jnp.where(mask, bits, jnp.uint32(0)), axis=-1, dtype=jnp.uint32
     )
     return jax.lax.bitcast_convert_type(sel, jnp.float32)
 
@@ -629,38 +612,40 @@ def _resolve_substeps_wide(opts, stopw, p0, delta, k, act, cap, skip, valid,
     pend_i here includes the same prefix), so masked sums select exactly
     the serial k_end/k_exit. Bit-equal by construction; asserted by
     tests/test_accel.py::test_wide_substeps_bit_equal and on TPU by
-    scripts/tpu_invariants.py (wide_substeps_on_off)."""
+    scripts/tpu_invariants.py (wide_substeps_on_off). Lane dims are
+    leading-generic: (N,) or stacked (N, P) — the substep axis is appended
+    trailing either way ((N, S) / (N, P, S))."""
     shift = edge.bit_length() - 1
     mask = edge - 1
-    i = jnp.arange(substeps, dtype=_I32)[None, :]
-    ki = k[:, None] + i  # (N, S)
+    i = jnp.arange(substeps, dtype=_I32)
+    ki = k[..., None] + i  # (..., S)
     kfi = ki.astype(_F32)
     pi = V3(
-        p0.x[:, None] + delta.x[:, None] * kfi,
-        p0.y[:, None] + delta.y[:, None] * kfi,
-        p0.z[:, None] + delta.z[:, None] * kfi,
+        p0.x[..., None] + delta.x[..., None] * kfi,
+        p0.y[..., None] + delta.y[..., None] * kfi,
+        p0.z[..., None] + delta.z[..., None] * kfi,
     )
-    qi = voxel_coord(opts, pi)  # elementwise -> (N, S)
+    qi = voxel_coord(opts, pi)  # elementwise -> (..., S)
     vi, _ = _bounds_and_index(opts, qi)
-    in_b = ki < cap[:, None]
+    in_b = ki < cap[..., None]
     same = (
         vi
-        & ((qi.x >> shift) == bx[:, None])
-        & ((qi.y >> shift) == by[:, None])
-        & ((qi.z >> shift) == bz[:, None])
+        & ((qi.x >> shift) == bx[..., None])
+        & ((qi.y >> shift) == by[..., None])
+        & ((qi.z >> shift) == bz[..., None])
     )
     li = ((qi.z & mask) * edge + (qi.y & mask)) * edge + (qi.x & mask)
-    iota = jnp.arange(stopw.shape[1], dtype=_I32)[None, None, :]
+    iota = jnp.arange(stopw.shape[-1], dtype=_I32)
     word = jnp.sum(
-        jnp.where(iota == (li >> 5)[:, :, None], stopw[:, None, :],
+        jnp.where(iota == (li >> 5)[..., None], stopw[..., None, :],
                   jnp.uint32(0)),
-        axis=2,
-    )  # (N, S) — the serial loop's _word_at, batched
+        axis=-1,
+    )  # (..., S) — the serial loop's _word_at, batched
     bit = ((word >> (li & 31).astype(jnp.uint32)) & 1) == 1
 
     go = in_b & vi & same & ~bit  # the serial pend survives this substep
     pend0 = act & valid & (skip == 0)
-    pend_i = pend0[:, None] & _prefix_and_excl(go)  # (N, S) serial pend_i
+    pend_i = pend0[..., None] & _prefix_and_excl(go)  # (..., S) serial pend_i
     ev_dead = pend_i & ~in_b
     ev_brk = pend_i & in_b & ~vi
     ev_hit = pend_i & in_b & vi & same & bit
@@ -668,13 +653,13 @@ def _resolve_substeps_wide(opts, stopw, p0, delta, k, act, cap, skip, valid,
     stop_i = ev_hit | ev_brk  # <= one true per lane (pend dies at events)
 
     brk0 = act & ~valid  # landing itself out of grid
-    hit = jnp.any(ev_hit, axis=1)
-    brk = brk0 | jnp.any(ev_brk, axis=1)
-    dead = jnp.any(ev_dead, axis=1)
-    k_end = jnp.where(brk0, k, jnp.sum(jnp.where(stop_i, ki, 0), axis=1))
-    has_exit = jnp.any(ev_exit, axis=1)
-    k_exit = jnp.where(has_exit, jnp.sum(jnp.where(ev_exit, ki, 0), axis=1), k)
-    ran_out = pend0 & jnp.all(go, axis=1)  # unroll out: re-gather
+    hit = jnp.any(ev_hit, axis=-1)
+    brk = brk0 | jnp.any(ev_brk, axis=-1)
+    dead = jnp.any(ev_dead, axis=-1)
+    k_end = jnp.where(brk0, k, jnp.sum(jnp.where(stop_i, ki, 0), axis=-1))
+    has_exit = jnp.any(ev_exit, axis=-1)
+    k_exit = jnp.where(has_exit, jnp.sum(jnp.where(ev_exit, ki, 0), axis=-1), k)
+    ran_out = pend0 & jnp.all(go, axis=-1)  # unroll out: re-gather
     k_exit = jnp.where(ran_out, k + substeps, k_exit)
 
     ended = hit | brk
@@ -700,9 +685,9 @@ def _march_volume_brick(opts, accel, p0: V3, delta: V3, steps, active, max_k=Non
     from .accel import skips_per_distance
 
     eff = steps if max_k is None else min(steps, max_k)
-    n = p0.x.shape[0]
-    inv_vps = skips_per_distance(opts, delta)  # (N,) f32
-    cap = jnp.full((n,), eff, _I32)
+    shp = p0.x.shape
+    inv_vps = skips_per_distance(opts, delta)  # lane-shaped f32
+    cap = jnp.full(shp, eff, _I32)
     if max_k_dyn is not None:
         cap = jnp.minimum(cap, max_k_dyn)
 
@@ -724,9 +709,9 @@ def _march_volume_brick(opts, accel, p0: V3, delta: V3, steps, active, max_k=Non
     init = _carry_vma(
         (
             active & (cap > 0),
-            jnp.zeros((n,), _I32),
-            jnp.zeros((n,), bool),
-            jnp.zeros((n,), _I32),
+            jnp.zeros(shp, _I32),
+            jnp.zeros(shp, bool),
+            jnp.zeros(shp, _I32),
         ),
         p0.x,
     )
@@ -824,7 +809,6 @@ def raymarch(
     truncate_to_max_dist=False,
     want_stats=False,
     want_object=True,
-    cap_rounds=None,
 ):
     """Sphere-trace loop (reference: renderer.cl:239-257).
 
@@ -871,29 +855,23 @@ def raymarch(
     collapsing the long convergence tail of grazing ground/sky rays.
     Per-ray step counters keep the maxIter budget exact.
 
-    cap_rounds (static int, flat engine only): stop the while_loop after at
-    most cap_rounds rounds and report per-lane `resolved` (= the lane's own
-    state machine reached DONE). A resolved lane's outputs are IDENTICAL to
-    the uncapped march's — lanes are independent in the flat engine, so a
-    band-level exit truncates only unfinished lanes, whose outputs the
-    caller must discard and recompute (the carry-state respill scheduler in
-    ops/render.py re-marches them from scratch in densely packed bands).
+    Lane shape is generic: (N,) flat lanes, or stacked (N, P) trailing-lane
+    groups (P spp passes of the same pixels — ops/render.py pass stacking;
+    flat/brick engine only). All per-lane math is elementwise, so each
+    stacked lane computes bit-identically to its (N,) counterpart.
     """
-    n = ray_pos.x.shape[0]
-    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), (n,))
-    if cap_rounds is not None and accel is None:
-        raise ValueError("cap_rounds requires the flat engine (accel)")
+    shp = ray_pos.x.shape
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, _F32), shp)
     if accel is not None:
         c = _raymarch_flat(
             accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
             truncate_to_max_dist, want_object=want_object,
-            cap_rounds=cap_rounds,
             # shadow configuration (no normals, no material): drop the
             # write-only carry arrays and their per-application updates —
             # XLA cannot dead-code-eliminate while_loop carries, so unused
             # outputs cost real vector work in every application. The march
             # event sequence and the distance evolution are untouched =>
-            # `distance` (and apps/resolved) bit-equal to the full carry.
+            # `distance` (and apps) bit-equal to the full carry.
             lean=(not want_normal) and (not want_object),
         )
     else:
@@ -917,8 +895,6 @@ def raymarch(
         isec["rounds"] = c["round"]  # while rounds paid (band worst-ray)
         isec["steps"] = c["s"]  # per-ray sphere steps consumed (useful work)
         isec["apps"] = c.get("apps", c["s"])  # per-lane applications (flat)
-    if cap_rounds is not None:
-        isec["resolved"] = c["mode"] == _M_DONE
     return isec
 
 
@@ -1041,31 +1017,6 @@ _M_DONE, _M_SETUP, _M_MARCH, _M_GROUND, _M_BOOK = 0, 1, 2, 3, 4
 FLAT_UNROLL = 4
 FLAT_GROUND_STEPS = 4
 
-# Diagnostic (scripts/audit_brick_cache.py): when True, the flat engine's
-# per-lane `apps` counter counts only FRESH gather-probes — march
-# applications whose landing brick differs from the lane's previously
-# gathered brick. Successive sphere-trace rounds re-probe the stop brick,
-# so fresh-probe counts are the per-lane application floor of a
-# hypothetical engine that carries the last gathered row and retires
-# cached-brick rounds without a new gather. Audit-only: render outputs are
-# unchanged (apps is a pure diagnostic), but the cost-sort keys shift, so
-# leave False in production.
-APPS_FRESH = False
-
-# Brick-cache fast rounds (the engine the APPS_FRESH oracle bounds): carry
-# each lane's last gathered brick row (crow/cbid); every application first
-# runs CACHE_FAST_ROUNDS gather-free rounds in which lanes whose landing
-# brick == cbid resolve substeps/skips against the carried row (identical
-# content — accel.rows is immutable — so identical events) with full
-# sphere bookkeeping + re-setup in between, THEN the ordinary gathered
-# probe. Sphere-trace convergence rounds land in the brick the previous
-# segment stopped in, so they retire in fast rounds and the lane reaches
-# DONE in fewer applications => fewer band while-rounds => fewer gathers.
-# Grouping-only: per-lane event sequences and float math are unchanged
-# (bit-equal; tests/test_accel.py::test_brick_cache_bit_equal).
-BRICK_CACHE = False
-CACHE_FAST_ROUNDS = 2
-
 # Wide substep resolve: batch _probe_resolve's BRICK_SUBSTEPS sample tests
 # along a trailing (S,) axis instead of a python-unrolled serial loop. The
 # platform cost model (PERFORMANCE.md round-3) is while-body time ~ op
@@ -1100,20 +1051,9 @@ WIDE_SUBSTEPS = True
 # (PERFORMANCE.md round-3 session-3: the cost model is op-KIND-dependent).
 WIDE_GROUND = True
 
-# Branch-gated state-machine blocks: wrap each application block (setup /
-# march+book / ground) in lax.cond on "any lane is in this mode", skipping
-# the block's ops when the whole band is elsewhere. MEASURED DEAD on v5e
-# (scripts/bench_flag_ab.py --flag march.COND_GATES: headline 6.80 s ->
-# 12.14 s, bit-equal): conditional dispatch inside a TPU while body costs
-# ~as much as executing the gated block, same failure shape as BRICK_CACHE
-# (cost scales with program regions per application, PERFORMANCE.md).
-# Keep False: the while body must stay ONE straight-line masked sequence.
-COND_GATES = False
-
-
 def _raymarch_flat(
     accel, vol, opts, ray_pos, ray_dir, max_dist, max_steps, active,
-    truncate_to_max_dist, want_object=True, cap_rounds=None, lean=False,
+    truncate_to_max_dist, want_object=True, lean=False,
 ):
     """Flattened scheduling of the sphere trace (see raymarch docstring).
 
@@ -1141,7 +1081,7 @@ def _raymarch_flat(
     """
     from .accel import skips_per_distance
 
-    n = ray_pos.x.shape[0]
+    shp = ray_pos.x.shape
     bmin = _np3(opts.voxelBoundsMin)
     bmax = _np3(opts.voxelBoundsMax)
     inv_s = _np3(opts.invVoxelScale)
@@ -1180,7 +1120,7 @@ def _raymarch_flat(
                 _F32(steps),
             ).astype(_I32)
         else:
-            cap_new = jnp.full((n,), steps, _I32)
+            cap_new = jnp.full(shp, steps, _I32)
         to_ground = idist < 0.0
         to_march = (idist >= 0.0) & (idist < res_d) & (cap_new > 0)
         adv = jnp.where(idist > 0.0, idist, 0.0)
@@ -1270,32 +1210,7 @@ def _raymarch_flat(
         ev = _brick_probe(
             opts, accel, c["p0"], delta, c["k"], in_march, c["cap"], inv_vps
         )
-        out = _book(c, ev, in_march)
-        if APPS_FRESH:  # diagnostic: count only fresh-brick gather probes
-            fresh = in_march & (ev["bid"] != c["lbid"])
-            out["apps"] = c["apps"] + fresh.astype(_I32)
-            out["lbid"] = jnp.where(in_march, ev["bid"], c["lbid"])
-        if BRICK_CACHE:  # stage the gathered row for the fast rounds
-            cacheable = in_march & (ev["bid"] >= 0)
-            out["crow"] = jnp.where(cacheable[:, None], ev["rows"], c["crow"])
-            out["cbid"] = jnp.where(cacheable, ev["bid"], c["cbid"])
-        return out
-
-    def _cached_march_and_book(c):
-        """One gather-free fast round (see BRICK_CACHE): lanes whose
-        landing brick is the carried one (or whose landing is out of grid —
-        the break event reads no row) resolve against crow; every other
-        lane passes through untouched and probes in the gathered round."""
-        in_march = c["mode"] == _M_MARCH
-        valid, bx, by, bz, bid = _probe_landing(
-            opts, c["p0"], delta, c["k"], accel.edge
-        )
-        use = in_march & (~valid | (bid == c["cbid"]))
-        ev = _probe_resolve(
-            opts, c["crow"], c["p0"], delta, c["k"], use, c["cap"], inv_vps,
-            valid, bx, by, bz, accel.edge,
-        )
-        return _book(c, ev, use)
+        return _book(c, ev, in_march)
 
     def _ground(c):
         if WIDE_GROUND:
@@ -1362,34 +1277,35 @@ def _raymarch_flat(
             resds.append(res_d)
             resms.append(res_m)
             dists.append(dst + res_d)
-        lad = jnp.stack(dists, axis=1)  # (N, S+1)
-        dist_s = lad[:, :S]
-        py_s = jnp.stack(pys, axis=1)
-        gd_s = jnp.stack(gds, axis=1)
-        resd_s = jnp.stack(resds, axis=1)
-        resm_s = jnp.stack(resms, axis=1)
+        lad = jnp.stack(dists, axis=-1)  # (..., S+1)
+        dist_s = lad[..., :S]
+        py_s = jnp.stack(pys, axis=-1)
+        gd_s = jnp.stack(gds, axis=-1)
+        resd_s = jnp.stack(resds, axis=-1)
+        resm_s = jnp.stack(resms, axis=-1)
 
         pos_s = V3(
-            ray_pos.x[:, None] + ray_dir.x[:, None] * dist_s,
+            ray_pos.x[..., None] + ray_dir.x[..., None] * dist_s,
             py_s,
-            ray_pos.z[:, None] + ray_dir.z[:, None] * dist_s,
+            ray_pos.z[..., None] + ray_dir.z[..., None] * dist_s,
         )
-        d_s = V3(ray_dir.x[:, None], ray_dir.y[:, None], ray_dir.z[:, None])
+        d_s = V3(ray_dir.x[..., None], ray_dir.y[..., None],
+                 ray_dir.z[..., None])
         exit_s = intersects_box(bmin, bmax, pos_s, d_s) >= 0.0
-        md = max_dist[:, None] if jnp.ndim(max_dist) else max_dist
+        md = max_dist[..., None] if jnp.ndim(max_dist) else max_dist
         done_s = (jnp.abs(resd_s) <= opts.eps) | (dist_s >= md)
-        iota = jnp.arange(S, dtype=_I32)[None, :]
-        fin_s = done_s | ((c["s"][:, None] + iota + 1) >= max_steps)
+        iota = jnp.arange(S, dtype=_I32)
+        fin_s = done_s | ((c["s"][..., None] + iota + 1) >= max_steps)
 
         go = ~exit_s & ~fin_s  # the serial loop keeps stepping this lane
-        pend = g0[:, None] & _prefix_and_excl(go)  # step i is processed
+        pend = g0[..., None] & _prefix_and_excl(go)  # step i is processed
         ev_exit = pend & exit_s
         act = pend & ~exit_s  # the serial a_i (incl. the fin step)
-        n_act = jnp.sum(act, axis=1, dtype=_I32)
-        n_adv = jnp.sum(act & ~done_s, axis=1, dtype=_I32)  # dist advances
+        n_act = jnp.sum(act, axis=-1, dtype=_I32)
+        n_adv = jnp.sum(act & ~done_s, axis=-1, dtype=_I32)  # dist advances
 
-        has_exit = jnp.any(ev_exit, axis=1)
-        has_fin = jnp.any(act & fin_s, axis=1)
+        has_exit = jnp.any(ev_exit, axis=-1)
+        has_fin = jnp.any(act & fin_s, axis=-1)
         mode = jnp.where(
             has_exit,
             _I32(_M_SETUP),
@@ -1397,12 +1313,12 @@ def _raymarch_flat(
         )
         # dist after n_adv ladder advances (one-hot over S+1 entries;
         # non-GROUND lanes have n_adv == 0 -> ladder[0] == c["dist"])
-        iota1 = jnp.arange(S + 1, dtype=_I32)[None, :]
-        dist = _select_f32(iota1 == n_adv[:, None], lad)
+        iota1 = jnp.arange(S + 1, dtype=_I32)
+        dist = _select_f32(iota1 == n_adv[..., None], lad)
         out = {**c, "mode": mode, "s": c["s"] + n_act, "dist": dist}
         if not lean:  # write-only outputs: last active step's values
             wrote = n_act > 0
-            last = act & (iota == (n_act - 1)[:, None])
+            last = act & (iota == (n_act - 1)[..., None])
             out["dist_prev"] = jnp.where(
                 wrote, _select_f32(last, dist_s), c["dist_prev"]
             )
@@ -1415,12 +1331,7 @@ def _raymarch_flat(
         return out
 
     def cond(c):
-        live = jnp.any(c["mode"] != _M_DONE)
-        if cap_rounds is not None:
-            # band-level round cap (respill): resolved lanes already carry
-            # their final values; unfinished lanes are truncated and flagged
-            live = live & (c["round"] < cap_rounds)
-        return live
+        return jnp.any(c["mode"] != _M_DONE)
 
     def body(c):
         # fori_loop of a 2x-unrolled step (not full python unrolling) so the
@@ -1429,58 +1340,38 @@ def _raymarch_flat(
         # and fully-unrolled steps blew the compile time up ~5x, while a
         # 1-step fori body paid ~10% runtime in loop overhead. Step
         # application is idempotent for DONE lanes, so trip count is pure
-        # scheduling.
-        def gate(pred, fn, c):
-            return jax.lax.cond(pred, fn, lambda x: x, c)
-
+        # scheduling. (Wrapping blocks in lax.cond "any lane in this mode"
+        # was measured DEAD — 6.80 -> 12.14 s: extra program regions inside
+        # a TPU while body cost ~as much as executing them, PERFORMANCE.md.
+        # The body must stay ONE straight-line masked block sequence.)
         def two(_, c):
             for _ in range(2):
-                if not APPS_FRESH:  # APPS_FRESH counts in _march_and_book
-                    c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
-                if COND_GATES:
-                    c = gate(jnp.any(c["mode"] == _M_SETUP), _setup, c)
-                else:
-                    c = _setup(c)
-                if BRICK_CACHE:  # gather-free rounds against the carried row
-                    for _ in range(CACHE_FAST_ROUNDS):
-                        c = _cached_march_and_book(c)
-                        c = _setup(c)
-                if COND_GATES:
-                    c = gate(
-                        jnp.any((c["mode"] == _M_MARCH) | (c["mode"] == _M_BOOK)),
-                        _march_and_book, c,
-                    )
-                    c = gate(jnp.any(c["mode"] == _M_GROUND), _ground, c)
-                else:
-                    c = _march_and_book(c)
-                    c = _ground(c)
+                c = {**c, "apps": c["apps"] + (c["mode"] != _M_DONE).astype(_I32)}
+                c = _setup(c)
+                c = _march_and_book(c)
+                c = _ground(c)
             return c
 
         c = jax.lax.fori_loop(0, FLAT_UNROLL // 2, two, c)
         return {**c, "round": c["round"] + 1}
 
-    zi = jnp.zeros((n,), _I32)
-    zf = jnp.zeros((n,), _F32)
+    zi = jnp.zeros(shp, _I32)
+    zf = jnp.zeros(shp, _F32)
     init_mode = (
         jnp.where(active, _I32(_M_SETUP), _I32(_M_DONE))
         if max_steps > 0
-        else jnp.zeros((n,), _I32)
+        else jnp.zeros(shp, _I32)
     )
     carry = {
         "mode": init_mode,
         "round": _I32(0),
         "apps": zi,  # per-lane state-machine applications consumed
         "s": zi,
-        "dist": jnp.broadcast_to(opts.startDist, (n,)).astype(_F32),
+        "dist": jnp.broadcast_to(opts.startDist, shp).astype(_F32),
         "k": zi,
         "cap": zi,
         "p0": V3(zf, zf, zf),
     }
-    if APPS_FRESH:  # last gathered brick id (diagnostic, see flag)
-        carry["lbid"] = jnp.full((n,), -1, _I32)
-    if BRICK_CACHE:  # carried last-gathered row; cbid=-1 matches no brick
-        carry["crow"] = jnp.zeros((n, accel.rows.shape[1]), jnp.uint32)
-        carry["cbid"] = jnp.full((n,), -1, _I32)
     if not lean:
         carry.update({
             # position of the last processed sphere round = ray_pos + dir *
@@ -1489,19 +1380,19 @@ def _raymarch_flat(
             # expression is bit-equal and 3x smaller)
             "dist_prev": zf,
             "obj": zi,
-            "ovox": jnp.zeros((n,), bool),  # last event's mat is voxel-won
-            "hit": jnp.zeros((n,), bool),
+            "ovox": jnp.zeros(shp, bool),  # last event's mat is voxel-won
+            "hit": jnp.zeros(shp, bool),
             "q": V3(zi, zi, zi),
             "gd": zf,
         })
     c = jax.lax.while_loop(cond, body, _carry_vma(carry, ray_pos.x))
     if lean:
         # placeholders for the write-only outputs the lean carry dropped;
-        # lean callers (shadow) consume only `distance` (+ apps/resolved)
+        # lean callers (shadow) consume only `distance` (+ apps)
         c["dist_prev"] = c["dist"]
         c["obj"] = zi
-        c["ovox"] = jnp.zeros((n,), bool)
-        c["hit"] = jnp.zeros((n,), bool)
+        c["ovox"] = jnp.zeros(shp, bool)
+        c["hit"] = jnp.zeros(shp, bool)
         c["q"] = V3(zi, zi, zi)
         c["gd"] = zf
     c["pos"] = ray_pos + ray_dir * c["dist_prev"]

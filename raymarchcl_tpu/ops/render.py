@@ -112,22 +112,6 @@ def render_pass(vol, opts, mc_table, accum, ids=None, accel=None, tiles=None,
 # tests/test_parallel.py); set False if exact CPU reproducibility matters.
 DEFERRED_SHADE = True
 
-# Carry-state respill for the shade phase's shadow marches (the measured
-# 2.3x band overhead vs the 1.22x oracle, PERFORMANCE.md): cap each band's
-# shadow while_loop at RESPILL_CAP rounds; lanes whose own state machine
-# finished carry exact results (flat-engine lanes are independent), the
-# rest are re-marched FROM SCRATCH in densely packed spill bands (all-
-# resolved bands cost one early-exited dispatch). Restart-instead-of-resume
-# keeps the spilled state tiny (the shadow ray params, recomputed
-# elementwise) at the price of <= cap*FLAT_UNROLL wasted applications per
-# spilled lane. Output is bit-equal: resolved lanes' sf values equal the
-# uncapped march's, spilled lanes re-run the identical full-budget march,
-# and the lighting combine re-evaluates the same expressions.
-# Only taken for bounce-free presets (reflectIter == 0) with the accel
-# engine; bounce shadows stay inside the monolithic shade band.
-RESPILL = False
-RESPILL_CAP = 6  # while rounds (x FLAT_UNROLL applications per lane)
-
 # Active-lane compaction for the secondary loops of REFLECTIVE presets
 # (shade.shade_after_march_compact): stable-partition each bounce-march /
 # shadow / AO while_loop's lanes so actives pack into the leading bands and
@@ -136,31 +120,32 @@ RESPILL_CAP = 6  # while rounds (x FLAT_UNROLL applications per lane)
 # applications because 3-17% active sets are smeared over every band;
 # offline reconstruction predicts paid secondary apps 70.4M -> 38.1M/pass
 # (1.85x) at 256^2 metal. Grouping-only => bit-equal on TPU (CPU tolerance:
-# FMA contraction, like every banding invariant). Distinct from the dead
-# RESPILL family: respill reassigned ROUNDS between bands of fully-active
-# lanes (conserved, no win); this removes bands' dead lanes entirely.
+# FMA contraction, like every banding invariant).
 # Trace-time constant — clear the render jit cache when flipping.
 COMPACT_SECONDARY = True
 
 
 # Pass-stacking: render PASS_STACK spp passes of the same pixel band as ONE
-# batched program (jax.vmap over the deferred pass), blending the per-pass
-# colors sequentially afterwards — value-identical by construction (the
-# sequential post-blend keeps the reference's exponential accumulation
-# order), BIT-EQUAL on v5e. Within a stacked group all passes share the
-# group-entry cost maps (scheduling-only difference).
+# program whose march/shade carries are literally (N, P) with the pass axis
+# P MINOR (trailing) — lane (i, p) runs pass p of pixel i with its own
+# seeds/jitters/table block threaded through every seed site
+# (sampling.init_render_state / _table_idx), then the per-pass colors blend
+# sequentially in pass order, so values are identical to the sequential
+# scan by construction (BIT-EQUAL on TPU; CPU gets the usual
+# FMA-contraction tolerance). Within a stacked group all P passes share the
+# group-entry cost maps and band permutation (scheduling-only difference).
 #
-# MEASURED SLOWER — kept OFF as a recorded negative result + round-4
-# harness (scripts/bench_pass_stack.py, v5e headline: P=1 4.70 s, P=2
-# 5.20, P=4 5.30, P=8 5.26, all bit-equal). The motivating probe
-# (scripts/bench_width_scaling.py) shows a while-body's TRAILING axis
-# carries W independent lanes at 0.88-1.37x the 1-D cost (2.3-2.9x
-# throughput) — but jax.vmap batches every intermediate at dim 0, and
-# batch-LEADING (P, N) scales near-linearly (2.2x worse than (N, P) at
-# P=4). The win requires carries literally laid out (N, P) with P minor —
-# a manual engine refactor (PERFORMANCE.md round-3 session-5), for which
-# this branch's blend/cost plumbing and A/B script are the validation
-# harness. Trace-time constant — clear the render jit cache when flipping.
+# Why trailing: a while-body's TRAILING axis carries W independent lanes at
+# 0.88-1.37x the 1-D cost (2.3-2.9x throughput/Klane) while LEADING growth
+# is near-linear (scripts/bench_width_scaling.py, PERFORMANCE.md round-3
+# session-5). A vmap prototype of this same blend/cost plumbing was
+# measured SLOWER (P=4: 5.30 s vs 4.70) because vmap batches every
+# intermediate at dim 0 — the layout is the whole lever, hence the manual
+# (N, P) engine (ops/march.py lane-shape-generic carries).
+#
+# Engages on the deferred+accel path for bounce-free presets (reflective
+# presets keep COMPACT_SECONDARY's lane compaction, which is (N,)-shaped).
+# Trace-time constant — clear the render jit cache when flipping.
 PASS_STACK = 1  # passes per stacked group (1 = off); iter must divide
 
 
@@ -195,91 +180,8 @@ def _maxfilt2d(cost, w, k):
     return out.reshape(-1)
 
 
-def _shade_respill(vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
-                   ipos, idist, iobj, inorm, accel):
-    """Respill-scheduled shade phase for bounce-free presets (see RESPILL).
-
-    B1 (banded): the ordinary monolithic shade band (AO + lighting +
-    atmosphere) but with the shadow-march while_loops capped at RESPILL_CAP
-    rounds; per-lane `resolved` = every shadow march's own state machine
-    finished, so the lane's color is exact (flat-engine lane independence).
-    B2 (spill, banded): lanes permuted by resolved (unresolved first,
-    Morton order preserved within each class); unresolved lanes re-shaded
-    wholesale at full budget — all-resolved bands cost early-exited
-    dispatches. Restart-instead-of-resume re-pays the AO probes and
-    <= cap*FLAT_UNROLL shadow applications for spilled lanes, in exchange
-    for carrying zero extra state between phases.
-
-    (v1 of this scheduler split shade into three phases — capped-shadow,
-    spill, elementwise combine — carrying ao/sf across phases: measured
-    18% SLOWER than baseline at 512^2/4spp ao on v5e, cap-insensitive, i.e.
-    pure phase/permutation overhead. v2 folds the cap into the existing
-    band and only adds the spill scan.)
-
-    Returns (col V3 of (n,), apps (n,)) in the caller's (sorted) lane order.
-    """
-    from .shade import shade_after_march
-    from .vecmath import V3, where3
-
-    n = px.shape[0]
-    nt = n // tiles
-
-    def band_split(a):
-        return a.reshape((tiles, nt) + a.shape[1:])
-
-    def band_join(a):
-        return a.reshape((n,) + a.shape[2:])
-
-    xs9 = (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm)
-
-    # --- B1: monolithic shade bands, shadow marches capped --------------
-    def b1(_, xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
-        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
-                "normal": inorm}
-        col, resolved, apps = shade_after_march(
-            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
-            want_stats=True, cap_rounds=RESPILL_CAP,
-        )
-        return None, (col, resolved, apps)
-
-    _, out1 = jax.tree_util.tree_map(
-        band_join, jax.lax.scan(b1, None, jax.tree_util.tree_map(band_split, xs9))
-    )
-    col1, res1, apps1 = out1
-
-    # --- B2: dense spill bands, full-budget re-shade --------------------
-    spill_perm = jnp.argsort(res1, stable=True)  # unresolved first
-    unperm = jnp.argsort(spill_perm, stable=True)
-    pick = lambda a: jnp.take(a, spill_perm, axis=0)
-    pick3 = lambda v: V3(pick(v.x), pick(v.y), pick(v.z))
-    xs10p = (pick(px), pick(py), pick3(mcn), pick3(rpos), pick3(rdir),
-             pick3(ipos), pick(idist), pick(iobj), pick3(inorm), pick(res1))
-
-    def b2(_, xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, resb) = xs
-        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
-                "normal": inorm}
-        col, apps = shade_after_march(
-            vol, opts, table_t, px, py, mcn, rpos, rdir, isec, accel,
-            want_stats=True, active=~resb,
-        )
-        return None, (col, apps)
-
-    _, out2 = jax.tree_util.tree_map(
-        band_join,
-        jax.lax.scan(b2, None, jax.tree_util.tree_map(band_split, xs10p)),
-    )
-    col2_p, apps2_p = out2
-    unpick = lambda a: jnp.take(a, unperm, axis=0)
-    col2 = V3(unpick(col2_p.x), unpick(col2_p.y), unpick(col2_p.z))
-    col = where3(res1, col1, col2)
-    apps = apps1 + unpick(apps2_p)
-    return col, apps
-
-
 def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
-                          prev_cost=None, return_col=False):
+                          prev_cost=None):
     """Deferred pass; with `prev_cost` ({'a','b'}: per-pixel march/shade
     applications of the PREVIOUS pass) bands are COST-SORTED:
 
@@ -365,11 +267,6 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
         )
         if stats:
             col, apps_b = col
-    elif RESPILL and opts.reflectIter == 0 and accel is not None:
-        col, apps_b = _shade_respill(
-            vol, opts, table_t, tiles, px, py, mcn, rpos, rdir,
-            ipos, idist, iobj, inorm, accel,
-        )
     else:
         def shade_band(_, xs):
             (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
@@ -399,11 +296,116 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
             "a": jnp.zeros((n,), jnp.int32).at[order_a].set(apps_a),
             "b": jnp.zeros((n,), jnp.int32).at[perm_total].set(apps_b),
         }
-        if return_col:  # pass-stacked caller blends sequentially itself
-            return col_unsorted, new_cost
         return accum + (col_unsorted - accum) * opts.frameBlend, new_cost
     col_unsorted = jnp.zeros_like(col_a).at[perm].set(col_a)
     return accum + (col_unsorted - accum) * opts.frameBlend
+
+
+def _render_pass_deferred_stacked(vol, opts, table_t, times, accum, ids,
+                                  accel, tiles, prev_cost):
+    """PASS_STACK deferred passes as ONE program whose march/shade lanes are
+    (N, P) with the pass axis trailing (see the PASS_STACK comment).
+
+    times: (P,) pass times; table_t: (4, P*L) stacked table
+    (sampling.transpose_table_stacked); prev_cost: per-PIXEL cost maps
+    shared by the whole group. Returns (accum', new_cost).
+
+    The P passes share the group-entry band sort — phase A by the previous
+    group's a-cost, phase B by its b-cost with the group's any-pass hit and
+    pass 0's hit-position Morton code as tiebreak. Permutations act on
+    (N, P) ROWS (one packed row gather each), so all P lanes of a pixel
+    ride in the pixel's band. Per-lane march/shade values are bit-identical
+    to the sequential per-pass renders (lanes are independent and every
+    seed site threads the lane's own pass time/table block); the final
+    blend applies the per-pass colors in pass order, reproducing the
+    reference's exponential accumulation exactly (renderer.cl:478-494)."""
+    from .march import raymarch
+    from .shade import shade_after_march
+    from .vecmath import V3
+
+    n = ids.shape[0]
+    p = times.shape[0]
+    nt = n // tiles
+    w = opts.resolution[0]
+    opts_s = opts.replace(time=times)  # (P,) time row -> stacked lane state
+
+    order_a = jnp.argsort(_maxfilt2d(prev_cost["a"], w, 3), stable=True)
+    ids = jnp.take(ids, order_a)
+
+    # --- phase A: per-band primary march, (nt, P) trailing lanes ---------
+    def march_band(_, ids_t):
+        state = init_render_state(opts_s, table_t, ids_t)
+        ray_pos, ray_dir = camera_ray_lookat(opts_s, state)
+        act = jnp.ones((ids_t.shape[0], p), bool)
+        isec = raymarch(
+            vol, opts_s, ray_pos, ray_dir, opts_s.maxDist, opts_s.maxIter,
+            smooth=True, active=act, want_normal=True, accel=accel,
+            want_stats=True,
+        )
+        return None, (state["px"], state["py"], state["mc_normal"],
+                      ray_pos, ray_dir, isec["pos"], isec["distance"],
+                      isec["object_id"], isec["normal"], isec["apps"])
+
+    _, out = jax.lax.scan(march_band, None, ids.reshape(tiles, nt))
+    out = jax.tree_util.tree_map(lambda a: a.reshape((n,) + a.shape[2:]), out)
+    (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm, apps_a) = out
+
+    # --- group permutation: one per-PIXEL key shared by the P lanes ------
+    hit = jnp.any(idist < opts.maxDist, axis=1)  # any pass hit
+    scale = jnp.float32(1023.0 / 4.0)
+    qk = lambda c: jnp.clip((c + 2.0) * scale, 0.0, 1023.0).astype(jnp.int32)
+    # Morton tiebreak from pass 0's hit position (passes of a pixel
+    # correlate at ~0.89; rows whose pass 0 missed get a clipped far
+    # position — scheduling noise only, the cost bucket dominates the key)
+    morton = _morton10(qk(ipos.x[:, 0]), qk(ipos.y[:, 0]), qk(ipos.z[:, 0]))
+    cost_b = jnp.take(_maxfilt2d(prev_cost["b"], w, 5), order_a)
+    key_hit = (jnp.clip(cost_b, 0, 4095) << 14) | (morton >> 16)
+    key = jnp.where(
+        hit, key_hit,
+        jnp.int32(2**30) + jnp.arange(n, dtype=jnp.int32),  # misses: tail
+    )
+    perm = jnp.argsort(key, stable=True)
+    pick = lambda a: jnp.take(a, perm, axis=0)
+    pick3 = lambda v: V3(pick(v.x), pick(v.y), pick(v.z))
+    px, py = pick(px), pick(py)
+    mcn, rpos, rdir, ipos, inorm = (
+        pick3(mcn), pick3(rpos), pick3(rdir), pick3(ipos), pick3(inorm)
+    )
+    idist, iobj = pick(idist), pick(iobj)
+
+    # --- phase B: per-band shading over (nt, P) lanes ---------------------
+    def shade_band(_, xs):
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                "normal": inorm}
+        return None, shade_after_march(
+            vol, opts_s, table_t, px, py, mcn, rpos, rdir, isec, accel,
+            want_stats=True,
+        )
+
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape((tiles, nt) + a.shape[1:]),
+        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
+    )
+    _, (col, apps_b) = jax.lax.scan(shade_band, None, xs)
+    col = jax.tree_util.tree_map(lambda a: a.reshape(n, p), col)
+    apps_b = apps_b.reshape(n, p)
+
+    # --- unsort + sequential blend in pass order --------------------------
+    col_a = (col * opts.exposure).to_array()  # (n, p, 3)
+    perm_total = jnp.take(order_a, perm)
+    col_u = jnp.zeros_like(col_a).at[perm_total].set(col_a)
+    # the group's cost signal: worst pass per pixel (the band charges its
+    # worst lane, and all P lanes of a pixel share a band row)
+    new_cost = {
+        "a": jnp.zeros((n,), jnp.int32).at[order_a].set(
+            jnp.max(apps_a, axis=1)),
+        "b": jnp.zeros((n,), jnp.int32).at[perm_total].set(
+            jnp.max(apps_b, axis=1)),
+    }
+    for i in range(p):
+        accum = accum + (col_u[:, i, :] - accum) * opts.frameBlend
+    return accum, new_cost
 
 
 def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
@@ -422,34 +424,35 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
         tiles //= 2
     if (tiles > 1 and DEFERRED_SHADE and PASS_STACK > 1
-            and times.shape[0] % PASS_STACK == 0):
+            and accel is not None and opts.reflectIter == 0):
+        # stacked trailing-lane engine (see PASS_STACK): bounce-free presets
+        # on the accel path; reflective presets keep COMPACT_SECONDARY
+        if times.shape[0] % PASS_STACK != 0:
+            raise ValueError(
+                f"PASS_STACK={PASS_STACK} must divide the pass count "
+                f"{times.shape[0]} (pad spp or set PASS_STACK=1)"
+            )
         from .march import _carry_vma
-        from .sampling import transpose_table
+        from .sampling import transpose_table_stacked
 
         p = PASS_STACK
         ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
         zero = jnp.zeros((n,), jnp.int32)
         cost0 = _carry_vma({"a": zero, "b": zero}, accum)
 
-        def one(t, table, cost):
-            return _render_pass_deferred(
-                vol, opts.replace(time=t), transpose_table(table), None,
-                ids_m, accel, tiles, prev_cost=cost, return_col=True,
-            )
-
         def step(carry, xs):
             acc, cost = carry
             ts, tabs = xs  # (p,), (p, L, 4)
-            cols, new_costs = jax.vmap(one, in_axes=(0, 0, None))(ts, tabs, cost)
-            # sequential exponential blend + decaying-max cost updates, in
-            # pass order — identical VALUES to the unstacked scan (the blend
-            # is associated exactly as the reference's, renderer.cl:478-494)
-            for i in range(p):
-                acc = acc + (cols[i] - acc) * opts.frameBlend
-                cost = jax.tree_util.tree_map(
-                    lambda newc, old: jnp.maximum(newc[i], old - (old >> 2)),
-                    new_costs, cost,
-                )
+            acc, new_cost = _render_pass_deferred_stacked(
+                vol, opts, transpose_table_stacked(tabs), ts, acc, ids_m,
+                accel, tiles, prev_cost=cost,
+            )
+            # decaying max over group history (as the unstacked path, one
+            # update per group)
+            cost = jax.tree_util.tree_map(
+                lambda new, old: jnp.maximum(new, old - (old >> 2)),
+                new_cost, cost,
+            )
             return (acc, cost), None
 
         (accum, _), _ = jax.lax.scan(

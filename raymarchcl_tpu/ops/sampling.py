@@ -53,20 +53,54 @@ def transpose_table(table):
     return jnp.asarray(table).T
 
 
+def transpose_table_stacked(tables):
+    """(P, T, 4) per-pass tables -> (4, P*T): pass p's table occupies index
+    block [p*T, (p+1)*T) of each component row. The stacked render engine
+    (ops/render.py pass stacking) threads per-pass table identity through
+    every seed site via _table_idx — trailing lane p reads pass p's table,
+    exactly as the sequential per-pass renders would."""
+    return jnp.transpose(jnp.asarray(tables), (2, 0, 1)).reshape(4, -1)
+
+
+def _table_idx(table_t, seed_u32):
+    """Masked table index (renderer.cl:142-144), plus the per-pass block
+    offset when lanes are stacked (N, P) against a (4, P*T) stacked table:
+    trailing lane p gathers from pass p's block."""
+    idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
+    if seed_u32.ndim == 2 and table_t.shape[1] > MC_TABLE_LENGTH:
+        p = seed_u32.shape[1]
+        assert table_t.shape[1] == p * MC_TABLE_LENGTH, (
+            table_t.shape, seed_u32.shape,
+        )
+        idx = idx + jnp.arange(p, dtype=_I32) * MC_TABLE_LENGTH
+    return idx
+
+
+def _take_row(row, idx):
+    """Component-row gather with multi-dim lane indices flattened (the fast
+    1-D-start-index emitter form)."""
+    if idx.ndim == 1:
+        return jnp.take(row, idx)
+    return jnp.take(row, idx.reshape(-1)).reshape(idx.shape)
+
+
 def rand_float4(table_t, seed_u32):
     """table[seed & 0x3fff] (reference: renderer.cl:142-144).
 
-    table_t: (4, T) transposed table; seed_u32: uint32 (N,).
+    table_t: (4, T) transposed table (or (4, P*T) stacked — see
+    transpose_table_stacked); seed_u32: uint32, lane-shaped ((N,) or (N, P)).
     Returns (x, y, z, w) component arrays.
     """
-    idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
-    return tuple(jnp.take(table_t[c], idx) for c in range(4))
+    idx = _table_idx(table_t, seed_u32)
+    return tuple(_take_row(table_t[c], idx) for c in range(4))
 
 
 def rand_xyz(table_t, seed_u32) -> V3:
-    idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
+    idx = _table_idx(table_t, seed_u32)
     return V3(
-        jnp.take(table_t[0], idx), jnp.take(table_t[1], idx), jnp.take(table_t[2], idx)
+        _take_row(table_t[0], idx),
+        _take_row(table_t[1], idx),
+        _take_row(table_t[2], idx),
     )
 
 
@@ -87,11 +121,20 @@ def init_render_state(opts, table_t, ids):
     ids: (N,) int32 GLOBAL flat pixel ids. Returns dict with
       px, py (N,) jittered pixel coords; mc_normal V3; eye_pos V3;
       mc_pos_zw kept inside px/py.
+
+    Stacked passes (ops/render.py): when opts.time is a (P,) row of pass
+    times (and table_t the (4, P*T) stacked table), all state broadcasts to
+    (N, P) trailing-lane shape — lane (i, p) gets exactly the seeds/jitters
+    the sequential pass p would give pixel i.
     """
     w = opts.resolution[0]
     pix_x = (ids % w).astype(jnp.float32)
     pix_y = (ids // w).astype(jnp.float32)
     t = opts.time
+    if jnp.ndim(t) == 1:  # stacked (P,) pass times -> (N, P) lanes
+        ids = ids[:, None]
+        pix_x = pix_x[:, None]
+        pix_y = pix_y[:, None]
     # seeds: (uint)(id*17) + (uint)(time*3141.3862f) etc. (renderer.cl:471-472)
     seed_pos = (ids * 17).astype(_U32) + f2u32(t * 3141.3862)
     seed_nrm = (ids * 37).astype(_U32) + f2u32(t * 1859.1467)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import sampling
-from .march import distance_to_scene, raymarch
+from .march import _take_flat, distance_to_scene, raymarch
 from .vecmath import V3, dot, mix, normalize, reflect, where3
 
 _F32 = jnp.float32
@@ -80,26 +80,20 @@ def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist,
 
 
 def shadow(vol, opts, p: V3, ldir: V3, light_max_dist, active, accel=None,
-           want_stats=False, cap_rounds=None):
+           want_stats=False):
     """Hard shadow: full re-raymarch toward the light, 0/1 result
     (reference: renderer.cl:292-301). Skips normal computation entirely.
     want_stats additionally returns per-ray march applications (cost input
-    for the cost-sorted shade bands, ops/render.py). cap_rounds (respill,
-    see ops/render.RESPILL) additionally returns per-lane `resolved`; an
-    unresolved lane's sf is garbage and must be recomputed by the caller."""
+    for the cost-sorted shade bands, ops/render.py)."""
     isec = raymarch(
         vol, opts, p, ldir, light_max_dist, opts.shadowIter,
         smooth=False, active=active, want_normal=False, accel=accel,
         truncate_to_max_dist=True, want_stats=want_stats, want_object=False,
-        cap_rounds=cap_rounds,
     )
     sf = (isec["distance"] >= light_max_dist).astype(_F32)
-    out = (sf,)
     if want_stats:
-        out = out + (isec["apps"],)
-    if cap_rounds is not None:
-        out = out + (isec["resolved"],)
-    return out if len(out) > 1 else sf
+        return sf, isec["apps"]
+    return sf
 
 
 def schlick(r0, smoothness, normal: V3, view: V3):
@@ -149,8 +143,7 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=Non
     Each probe march is truncated to the exact-output bound
     (_ao_trunc_steps): ~8-18 evaluated samples instead of 96, identical
     results."""
-    n_rays = pos.x.shape[0]
-    ao = jnp.ones((n_rays,), _F32)
+    ao = jnp.ones(pos.x.shape, _F32)
     seed0 = sampling.ao_seed(opts, pos)
     steps = opts.maxVoxelIter // 2
     for i in range(opts.aoIter + 1):
@@ -168,14 +161,15 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=Non
 
 
 def _mat_gather(opts, mat_idx):
-    """Material slot fields for per-ray indices (SoA component gathers)."""
+    """Material slot fields for per-ray indices (SoA component gathers;
+    lane shape generic — multi-dim indices gather flattened)."""
     alb = V3(
-        jnp.take(opts.mat_albedo[:, 0], mat_idx),
-        jnp.take(opts.mat_albedo[:, 1], mat_idx),
-        jnp.take(opts.mat_albedo[:, 2], mat_idx),
+        _take_flat(opts.mat_albedo[:, 0], mat_idx),
+        _take_flat(opts.mat_albedo[:, 1], mat_idx),
+        _take_flat(opts.mat_albedo[:, 2], mat_idx),
     )
-    r0 = jnp.take(opts.mat_r0, mat_idx)
-    smoothness = jnp.take(opts.mat_smoothness, mat_idx)
+    r0 = _take_flat(opts.mat_r0, mat_idx)
+    smoothness = _take_flat(opts.mat_smoothness, mat_idx)
     return alb, r0, smoothness
 
 
@@ -240,17 +234,13 @@ def light_combine(opts, ray_dir: V3, normal: V3, albedo, r0, smoothness,
 
 def object_lighting(
     vol, opts, table_t, px, py, ray_dir: V3, isec_pos: V3, mat_idx, normal: V3,
-    reflect_col: V3, active, accel=None, want_stats=False, cap_rounds=None,
+    reflect_col: V3, active, accel=None, want_stats=False,
 ):
     """Direct lighting of a surface point (reference: renderer.cl:348-381).
 
     mat_idx: (N,) int32 clamped to [0, 3]. reflect_col: V3.
     want_stats: also return summed secondary-march applications (the cost
     signal for cost-sorted shade bands, ops/render.py).
-    cap_rounds (respill, ops/render.RESPILL): cap the shadow-march band
-    while_loops and ALSO return per-lane `resolved` (= every light's shadow
-    march finished); unresolved lanes' colors are garbage and must be
-    recomputed by the caller at full budget.
     """
     albedo, r0, smoothness = _mat_gather(opts, mat_idx)
     apps = jnp.zeros_like(mat_idx)
@@ -268,8 +258,7 @@ def object_lighting(
     # opposite way: no phase select, just a wider lane axis.
     ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     sfs = []
-    resolved = None
-    if STACK_LIGHT_SHADOWS and len(lt) > 1 and cap_rounds is None:
+    if STACK_LIGHT_SHADOWS and len(lt) > 1:
         # All lights' shadow marches in ONE while_loop, stacked along the
         # lane axis (k*N + lane = light k's ray): the band pays
         # max-over-lights of band-max rounds instead of the sum, and
@@ -303,29 +292,20 @@ def object_lighting(
         for l in lt:
             ret = shadow(
                 vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
-                accel, want_stats=want_stats, cap_rounds=cap_rounds,
+                accel, want_stats=want_stats,
             )
             if not isinstance(ret, tuple):
                 ret = (ret,)
             sfs.append(ret[0])
-            i = 1
             if want_stats:
-                apps = apps + ret[i]
-                i += 1
-            if cap_rounds is not None:
-                resolved = ret[i] if resolved is None else (resolved & ret[i])
-    if cap_rounds is not None and resolved is None:  # numLights == 0
-        resolved = jnp.ones(ray_dir.x.shape, bool)
+                apps = apps + ret[1]
 
     out = light_combine(
         opts, ray_dir, normal, albedo, r0, smoothness, reflect_col, ao, lt, sfs
     )
-    extras = ()
-    if cap_rounds is not None:
-        extras = extras + (resolved,)
     if want_stats:
-        extras = extras + (apps,)
-    return (out,) + extras if extras else out
+        return out, apps
+    return out
 
 
 def basic_scene_color(vol, opts, table_t, px, py, ray_pos: V3, ray_dir: V3,
@@ -375,7 +355,7 @@ def scene_color(vol, opts, table_t, state, ray_pos: V3, ray_dir: V3, accel=None)
 
 def shade_after_march(
     vol, opts, table_t, px, py, mc_normal: V3, ray_pos: V3, ray_dir: V3,
-    isec, accel=None, want_stats=False, cap_rounds=None, active=None,
+    isec, accel=None, want_stats=False, active=None,
 ):
     """Everything in sceneColor after the primary raymarch
     (renderer.cl:414-445): glossy normal, bounce loop / sky reflection,
@@ -386,14 +366,8 @@ def shade_after_march(
     secondary raymarch (shadows + bounces) — the cost signal the deferred
     pipeline feeds back into the next pass's band sort.
 
-    Respill hooks (ops/render.RESPILL; bounce-free presets only):
-    cap_rounds caps the shadow-march band while_loops and adds a per-lane
-    `resolved` to the return (unresolved lanes' colors are garbage, to be
-    recomputed); `active` restricts the secondary marches to a lane subset
-    (the spill phase's unresolved lanes) — inactive lanes' colors are
-    garbage. Return order: (col[, resolved][, apps])."""
-    if cap_rounds is not None and opts.reflectIter > 0:
-        raise ValueError("respill cap covers bounce-free presets only")
+    `active` restricts the secondary marches to a lane subset — inactive
+    lanes' colors are garbage. Return order: (col[, apps])."""
     apps = jnp.zeros(ray_dir.x.shape, jnp.int32)
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
@@ -423,7 +397,7 @@ def shade_after_march(
                 col_i, bisec = bounce
             acc = where3(b_active, acc + col_i, acc)
             b_hit = bisec["object_id"] >= 0
-            b_r0 = jnp.take(opts.mat_r0, jnp.clip(bisec["object_id"], 0, 3))
+            b_r0 = _take_flat(opts.mat_r0, jnp.clip(bisec["object_id"], 0, 3))
             b_active = b_active & b_hit & (b_r0 >= 0.001)  # renderer.cl:436-437
             r_pos = bisec["pos"]
             r_norm = bisec["normal"]
@@ -436,28 +410,19 @@ def shade_after_march(
     ret = object_lighting(
         vol, opts, table_t, px, py, ray_dir, isec["pos"], mat_idx,
         norm_p, reflect_col, shade_act, accel, want_stats=want_stats,
-        cap_rounds=cap_rounds,
     )
     if isinstance(ret, V3):  # V3 is a NamedTuple — don't unpack it
         ret = (ret,)
     lit = ret[0]
-    i = 1
-    resolved = None
-    if cap_rounds is not None:
-        resolved = ret[i]
-        i += 1
     if want_stats:
-        apps = apps + ret[i]
+        apps = apps + ret[1]
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
         opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
-    out = (col,)
-    if cap_rounds is not None:
-        out = out + (resolved,)
     if want_stats:
-        out = out + (apps,)
-    return out if len(out) > 1 else col
+        return col, apps
+    return col
 
 
 # --- active-lane-compacted secondary loops (reflective presets) ------------
@@ -553,8 +518,7 @@ def shade_after_march_compact(
     the lane grouping of the secondary loops differs, so results are
     bit-equal on TPU. Elementwise glue (light geometry, combine,
     atmosphere) runs full-frame — banding only ever existed for the
-    while_loops. No respill/cap support (reflective presets are outside
-    RESPILL's domain)."""
+    while_loops."""
     n = ray_dir.x.shape[0]
     apps = [jnp.zeros((n,), jnp.int32)]
     sky = sky_gradient(opts, ray_dir)

@@ -5,9 +5,9 @@ are trace-time constants, CLAUDE.md), checks bit-equality against the
 first variant on-device, and reports best-of-N fetch-timed seconds.
 
 Usage:
-  python scripts/bench_flag_ab.py --flag march.COND_GATES
+  python scripts/bench_flag_ab.py --flag march.WIDE_GROUND
   python scripts/bench_flag_ab.py --flag march.FLAT_UNROLL --values 4,8,16
-  python scripts/bench_flag_ab.py --flag render.RESPILL --size 256 --spp 4
+  python scripts/bench_flag_ab.py --flag render.COMPACT_SECONDARY --size 256 --spp 4
 """
 
 import argparse

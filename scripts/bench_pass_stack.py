@@ -1,10 +1,13 @@
-"""A/B the pass-stacked deferred renderer (render.PASS_STACK) at the
-headline config, with on-device equality between variants.
+"""A/B the pass-stacked deferred renderer (render.PASS_STACK — the manual
+(N, P) trailing-lane engine) at the headline config, with on-device
+equality between variants.
 
-Motivation: scripts/bench_width_scaling.py — the batch/trailing axis
-carries independent lanes at strongly sublinear cost, and passes of the
-same pixel correlate (0.894), so stacking P passes per band projects
-~2-2.5x on the banded phases (PERFORMANCE.md round-3 session-5 section).
+Motivation: scripts/bench_width_scaling.py — a while-body's TRAILING axis
+carries independent lanes at strongly sublinear cost (0.88-1.37x for
+2-4x lanes), and passes of the same pixel correlate (0.894), so stacking
+P passes per band projects ~2-2.5x on the banded phases (PERFORMANCE.md
+round-3 session-5; the earlier vmap prototype was slower because vmap
+batches at dim 0 — the (N, P) layout is the whole lever).
 
 Usage: python scripts/bench_pass_stack.py [--size 512] [--spp 16]
        [--vres 256] [--mat ao] [--stacks 1,2,4,8] [--reps 2]
@@ -50,32 +53,34 @@ def main():
     acc0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
 
     ref = None
-    for p in [int(s) for s in args.stacks.split(",")]:
-        if args.spp % p:
-            print(f"  P={p}: skipped (spp % P != 0)")
-            continue
-        render_mod.PASS_STACK = p
-        fn = jax.jit(
-            lambda v, o, t, tm, a0, ac: render_mod.render_accum(
-                v, o, t, tm, a0, accel=ac
+    try:
+        for p in [int(s) for s in args.stacks.split(",")]:
+            if args.spp % p:
+                print(f"  P={p}: skipped (spp % P != 0)")
+                continue
+            render_mod.PASS_STACK = p
+            fn = jax.jit(
+                lambda v, o, t, tm, a0, ac: render_mod.render_accum(
+                    v, o, t, tm, a0, accel=ac
+                )
             )
-        )
-        out = fn(vol, opts, tables, base_times, acc0, accel)
-        a = np.asarray(out)  # compile + fetch
-        best = 1e9
-        for rep in range(args.reps):
-            t = base_times + jnp.float32(1e-6 * (rep + 1))
-            t0 = time.perf_counter()
-            np.asarray(fn(vol, opts, tables, t, acc0, accel))
-            best = min(best, time.perf_counter() - t0)
-        if ref is None:
-            ref = a
-            eq = "(ref)"
-        else:
-            d = np.abs(a - ref).max()
-            eq = "BIT-EQUAL" if (a == ref).all() else f"max abs diff {d:.3e}"
-        print(f"  P={p}: {best:.3f} s   {eq}", flush=True)
-    render_mod.PASS_STACK = 1
+            out = fn(vol, opts, tables, base_times, acc0, accel)
+            a = np.asarray(out)  # compile + fetch
+            best = 1e9
+            for rep in range(args.reps):
+                t = base_times + jnp.float32(1e-6 * (rep + 1))
+                t0 = time.perf_counter()
+                np.asarray(fn(vol, opts, tables, t, acc0, accel))
+                best = min(best, time.perf_counter() - t0)
+            if ref is None:
+                ref = a
+                eq = "(ref)"
+            else:
+                d = np.abs(a - ref).max()
+                eq = "BIT-EQUAL" if (a == ref).all() else f"max abs diff {d:.3e}"
+            print(f"  P={p}: {best:.3f} s   {eq}", flush=True)
+    finally:
+        render_mod.PASS_STACK = 1
 
 
 if __name__ == "__main__":

@@ -8,14 +8,12 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   2. screen-band scan tiling (tiles=1 vs auto)
   3. Morton-sorted deferred shading on/off
   4. host_slices=1 vs 4
-  5. brick-cache fast rounds on/off (march.BRICK_CACHE)
-  6. carry-state respill on/off (render.RESPILL; bounce-free preset)
-  7. brick edge 16 vs 8 (accel.set_brick; Accel.edge retraces by itself)
-  8. lane-stacked light shadows on/off (shade.STACK_LIGHT_SHADOWS; the
+  5. brick edge 16 vs 8 (accel.set_brick; Accel.edge retraces by itself)
+  6. lane-stacked light shadows on/off (shade.STACK_LIGHT_SHADOWS; the
      metal preset's 2 lights engage the stacked branch)
-  9. wide substep resolve on/off (march.WIDE_SUBSTEPS)
- 10. wide ground block on/off (march.WIDE_GROUND)
- 11. active-lane-compacted secondary loops on/off
+  7. wide substep resolve on/off (march.WIDE_SUBSTEPS)
+  8. wide ground block on/off (march.WIDE_GROUND)
+  9. active-lane-compacted secondary loops on/off
      (render.COMPACT_SECONDARY; metal's bounces engage the compact path)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
@@ -83,7 +81,7 @@ def main():
         a, _ = render_mod.render_image(vol, opts, tables, accel=None)
         record("accel_on_off", ref, a)
 
-    # Module-level scheduling flags (DEFERRED_SHADE / TILE_RAYS / RESPILL)
+    # Module-level scheduling flags (DEFERRED_SHADE / TILE_RAYS / ...)
     # are read at TRACE time and are NOT part of the jit key: flipping one
     # without clearing the jit cache silently reuses the old program and the
     # comparison is vacuous (measured: zero retraces without clear_cache —
@@ -117,36 +115,6 @@ def main():
         d, _ = render_mod.render_image(vol, opts, tables, accel=accel,
                                        host_slices=4)
         record("host_slices_1_vs_4", ref, d)
-
-    if run_inv("brick_cache_on_off"):
-        # march-module flag (same trace-time caveat as the render flags)
-        from raymarchcl_tpu.ops import march as march_mod
-
-        saved_bc = march_mod.BRICK_CACHE
-        try:
-            march_mod.BRICK_CACHE = True
-            render_mod._render_jit.clear_cache()
-            f, _ = render_mod.render_image(vol, opts, tables, accel=accel)
-            record("brick_cache_on_off", ref, f)
-        finally:
-            march_mod.BRICK_CACHE = saved_bc
-            render_mod._render_jit.clear_cache()
-
-    if run_inv("respill_on_off"):
-        # the respill scheduler only engages for bounce-free presets; use ao
-        opts_ao = render_options(
-            width=args.size, height=args.size, vres=list(vres), iter=args.spp,
-            mat="ao", eyepos=compute_eyepos(135.0, 2.25, 0.35),
-            targetpos=[0, -0.4, 0],
-        )
-        saved = flag_flip(RESPILL=False)
-        try:
-            e0, _ = render_mod.render_image(vol, opts_ao, tables, accel=accel)
-            flag_flip(RESPILL=True)
-            e1, _ = render_mod.render_image(vol, opts_ao, tables, accel=accel)
-            record("respill_on_off", e0, e1)
-        finally:
-            flag_flip(**saved)
 
     if run_inv("brick_edge_16"):
         # Accel.edge is static jit-key aux: no cache clear needed, the

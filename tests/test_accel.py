@@ -168,59 +168,6 @@ def test_raymarch_bit_equal(scene):
     )
 
 
-def test_brick_cache_bit_equal(scene):
-    """Brick-cache fast rounds (march.BRICK_CACHE): identical per-lane
-    event sequences and float math, so raymarch outputs must be EXACTLY
-    equal to the cache-off flat engine on every backend — for the full
-    carry, the lean shadow configuration, and both fast-round counts."""
-    vol, _, opts, acc = scene
-    rng = np.random.default_rng(17)
-    n = 256
-    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
-    rd = rng.normal(size=(n, 3)).astype(np.float32)
-    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
-    pv = V3.from_array(jnp.asarray(rp))
-    dv = V3.from_array(jnp.asarray(rd))
-    act = jnp.ones((n,), bool)
-    lmax = jnp.asarray(rng.uniform(0.5, 3.0, n).astype(np.float32))
-
-    def full():
-        return march.raymarch(
-            vol, opts, pv, dv, opts.maxDist, opts.maxIter, True, act,
-            accel=acc, want_stats=True,
-        )
-
-    def lean_shadow():
-        return march.raymarch(
-            vol, opts, pv, dv, lmax, opts.shadowIter, False, act,
-            want_normal=False, accel=acc, truncate_to_max_dist=True,
-            want_object=False, want_stats=True,
-        )
-
-    assert march.BRICK_CACHE is False  # production default
-    base_f, base_s = full(), lean_shadow()
-    try:
-        for fast in (1, 2):
-            march.BRICK_CACHE = True
-            march.CACHE_FAST_ROUNDS = fast
-            cf, cs = full(), lean_shadow()
-            for k in ("distance", "object_id"):
-                np.testing.assert_array_equal(np.asarray(base_f[k]), np.asarray(cf[k]))
-            np.testing.assert_array_equal(
-                np.asarray(base_f["normal"].to_array()),
-                np.asarray(cf["normal"].to_array()),
-            )
-            np.testing.assert_array_equal(
-                np.asarray(base_s["distance"]), np.asarray(cs["distance"])
-            )
-            # the cache only removes applications, never adds them
-            assert int(np.asarray(cf["apps"]).sum()) <= int(np.asarray(base_f["apps"]).sum())
-            assert int(np.asarray(cs["apps"]).sum()) <= int(np.asarray(base_s["apps"]).sum())
-    finally:
-        march.BRICK_CACHE = False
-        march.CACHE_FAST_ROUNDS = 2
-
-
 def test_wide_substeps_bit_equal(scene):
     """Batched-substep resolve (march.WIDE_SUBSTEPS): identical per-element
     expressions on (N, S) operands + exact first-event recovery, so raymarch
@@ -564,47 +511,6 @@ def test_banded_march_integer_exact(scene):
         np.testing.assert_allclose(d1, d4, rtol=1e-6, atol=2e-6)
 
 
-def test_respill_shade_matches(scene):
-    """Respill-scheduled shade phase (render.RESPILL: capped shadow bands +
-    dense spill restart + elementwise combine) vs the monolithic shade band.
-    Exact by construction on TPU (resolved lanes' sf values equal the
-    uncapped march's; spilled lanes re-run the identical march; the combine
-    re-evaluates identical expressions) — and measured bit-exact on XLA:CPU
-    for this scene too; asserted with the standard CPU drift allowance in
-    case XLA:CPU codegen context-dependence returns."""
-    vol, _, _, _ = scene
-    opts = render_options(
-        width=256, height=48, vres=[32, 32, 96], iter=3, mat="ao",
-        maxIter=24, maxVoxelIter=48, shadowIter=24,
-        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
-    )
-    acc = accel_mod.build_accel(
-        generators.make_gyroid_volume({"vres": [32, 32, 96]}),
-        opts.voxelRes, opts.isoVal,
-    )
-    assert render_mod.auto_tiles(opts.num_pixels) > 1  # deferred path active
-    assert opts.reflectIter == 0  # respill only covers bounce-free presets
-    tables = make_mc_tables(3, seed=7)
-    times = jnp.arange(3, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
-    accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
-    saved = render_mod.RESPILL
-    try:
-        render_mod.RESPILL = False
-        a = np.asarray(
-            render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
-        )
-        render_mod.RESPILL = True
-        for cap in (1, 6):
-            render_mod.RESPILL_CAP = cap
-            b = np.asarray(
-                render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
-            )
-            rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-3)
-            assert (rel.max(axis=1) > 1e-3).mean() < 0.01, f"cap={cap}"
-    finally:
-        render_mod.RESPILL = saved
-
-
 def test_compact_secondary_matches(scene):
     """Active-lane-compacted secondary loops (render.COMPACT_SECONDARY +
     shade.shade_after_march_compact) vs the monolithic shade band, on a
@@ -675,42 +581,6 @@ def test_compact_perm_partition():
     np.testing.assert_array_equal(np.asarray(back["b"]), a)
 
 
-def test_capped_raymarch_resolved_lanes_exact(scene):
-    """cap_rounds semantics: resolved lanes' outputs are bit-identical to
-    the uncapped march (lane independence in the flat engine), and a
-    full-budget restart reproduces capped-away lanes exactly."""
-    vol, _, opts, acc = scene
-    rng = np.random.default_rng(13)
-    n = 256
-    rp = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
-    rd = rng.normal(size=(n, 3)).astype(np.float32)
-    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
-    pv = V3.from_array(jnp.asarray(rp))
-    dv = V3.from_array(jnp.asarray(rd))
-    act = jnp.ones((n,), bool)
-    kw = dict(smooth=False, want_normal=False, accel=acc)
-    full = march.raymarch(
-        vol, opts, pv, dv, opts.maxDist, opts.maxIter, active=act, **kw
-    )
-    capped = march.raymarch(
-        vol, opts, pv, dv, opts.maxDist, opts.maxIter, active=act,
-        cap_rounds=2, **kw,
-    )
-    res = np.asarray(capped["resolved"])
-    assert res.any() and not res.all()  # the cap actually bites
-    np.testing.assert_array_equal(
-        np.asarray(capped["distance"])[res], np.asarray(full["distance"])[res]
-    )
-    # restart of unresolved lanes at full budget == uncapped
-    redo = march.raymarch(
-        vol, opts, pv, dv, opts.maxDist, opts.maxIter,
-        active=jnp.asarray(~res), **kw,
-    )
-    np.testing.assert_array_equal(
-        np.asarray(redo["distance"])[~res], np.asarray(full["distance"])[~res]
-    )
-
-
 def test_cost_sorted_accum_matches_sequential(scene):
     """The cost-sorted multi-pass path in render_accum (prev_cost carry,
     max-filtered band sort, perm_total unsort, decaying-max cost update) vs
@@ -748,11 +618,13 @@ def test_cost_sorted_accum_matches_sequential(scene):
 
 
 def test_pass_stacked_accum_matches_sequential(scene):
-    """render.PASS_STACK: P vmap-stacked passes + sequential post-blend vs
-    the plain per-pass scan. Per-pass values are computed by the identical
-    (batched) program and the blend association is unchanged, so this is
-    grouping-only: bit-equal on TPU, tolerance on CPU (batching changes FMA
-    contraction opportunities, like every banding invariant here)."""
+    """render.PASS_STACK: P passes stacked as (N, P) trailing lanes through
+    the march/shade state machines + sequential post-blend vs the plain
+    per-pass scan. Every lane's per-pass math is elementwise-identical
+    (each seed site threads the lane's own pass time/table block) and the
+    blend association is unchanged, so this is grouping-only: bit-equal on
+    TPU, tolerance on CPU (stacking changes FMA contraction opportunities,
+    like every banding invariant here)."""
     vol, _, _, acc = scene
     opts = render_options(
         width=256, height=48, vres=[32, 32, 96], iter=4, mat="ao",
@@ -768,16 +640,27 @@ def test_pass_stacked_accum_matches_sequential(scene):
         render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
     )
     try:
-        render_mod.PASS_STACK = 2
-        got = np.asarray(
+        for p in (2, 4):
+            render_mod.PASS_STACK = p
+            got = np.asarray(
+                render_mod.render_accum(
+                    vol, opts, tables, times, accum0, accel=acc
+                )
+            )
+            rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+            bad = (rel.max(axis=1) > 1e-3).mean()
+            assert bad < 0.01, (
+                f"P={p}: {bad:.2%} of pixels differ beyond drift tolerance"
+            )
+            np.testing.assert_allclose(
+                np.median(got, 0), np.median(want, 0), rtol=1e-5
+            )
+        # non-dividing P must raise, not silently fall back (ADVICE r3)
+        render_mod.PASS_STACK = 3
+        with pytest.raises(ValueError, match="must divide"):
             render_mod.render_accum(vol, opts, tables, times, accum0, accel=acc)
-        )
     finally:
         render_mod.PASS_STACK = 1
-    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
-    bad = (rel.max(axis=1) > 1e-3).mean()
-    assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift tolerance"
-    np.testing.assert_allclose(np.median(got, 0), np.median(want, 0), rtol=1e-5)
 
 
 @pytest.mark.parametrize("edge", [4, 16])

@@ -213,20 +213,3 @@ def test_intersects_box_boundary_parallel_edge():
             p[i], d[i],
         )
         np.testing.assert_array_equal(got[i], np.float32(want), err_msg=str(cases[i]))
-
-
-def test_word_select_tree_matches_onehot():
-    """march._select_word (the measured-dead WORD_SELECT_TREE path, kept
-    with its negative result) must return exactly the one-hot formulation's
-    word, including the zero result for indices past W (the superbrick
-    boundary word w1+1 == NRM_ROW_WORDS case)."""
-    rng = np.random.default_rng(3)
-    for w, idx_hi in ((16, 16), (54, 64)):
-        words = jnp.asarray(rng.integers(0, 2**32, (257, w), dtype=np.uint64).astype(np.uint32))
-        idx = jnp.asarray(rng.integers(0, idx_hi, 257, dtype=np.int64).astype(np.int32))
-        tree = np.asarray(march._select_word(words, idx))
-        iota = jnp.arange(w, dtype=jnp.int32)[None, :]
-        onehot = np.asarray(jnp.sum(
-            jnp.where(iota == idx[:, None], words, jnp.uint32(0)), axis=1
-        ))
-        np.testing.assert_array_equal(tree, onehot)
