@@ -69,6 +69,28 @@ def check_invariants():
     finally:
         render_mod.DEFERRED_SHADE = saved
         render_mod._render_jit.clear_cache()
+    # pass-stacked trailing-lane engine on/off (the headline's default
+    # schedule): bounce-free preset, >= 2*TILE_RAYS px so the deferred +
+    # stacked branch engages
+    opts_ao = render_options(
+        width=128, height=64, vres=list(vres), iter=4, mat="ao",
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    tables4 = make_mc_tables(4, seed=0)
+    saved_ps = render_mod.PASS_STACK
+    try:
+        render_mod.PASS_STACK = 1
+        render_mod._render_jit.clear_cache()
+        s0, _ = render_mod.render_image(vol, opts_ao, tables4, accel=accel)
+        render_mod.PASS_STACK = saved_ps if saved_ps > 1 else 4
+        render_mod._render_jit.clear_cache()
+        s1, _ = render_mod.render_image(vol, opts_ao, tables4, accel=accel)
+        results["pass_stack_on_off"] = bool(
+            np.array_equal(np.asarray(s0), np.asarray(s1))
+        )
+    finally:
+        render_mod.PASS_STACK = saved_ps
+        render_mod._render_jit.clear_cache()
     for name, ok in results.items():
         print(f"  invariant {name}: {'OK' if ok else 'MISMATCH'}",
               file=sys.stderr, flush=True)

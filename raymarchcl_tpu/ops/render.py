@@ -145,8 +145,26 @@ COMPACT_SECONDARY = True
 #
 # Engages on the deferred+accel path for bounce-free presets (reflective
 # presets keep COMPACT_SECONDARY's lane compaction, which is (N,)-shaped).
+# The effective stack is the largest divisor of the pass count <= this
+# value (25 spp at 8 -> groups of 5); an A/B that needs an exact P should
+# assert divisibility itself (scripts/bench_pass_stack.py does).
 # Trace-time constant — clear the render jit cache when flipping.
-PASS_STACK = 1  # passes per stacked group (1 = off); iter must divide
+#
+# HW A/B (v5e, headline 512^2/16spp ao, bit-equal on device at every
+# point): P=1 4.87 s; at TILE_RAYS=4096 rows P=2 5.35 / P=4 4.46 / P=8
+# 4.05 / P=16 4.72 (one group = no cost sort — the sorted second group is
+# worth more than wider stacking); band re-sweep at P=8: 2048 rows 3.79,
+# 1024 rows 3.56, 512 rows (=1024 via MAX_TILES) 3.63. Default P=8 with
+# STACK_TILE_ROWS=1024: 4.87 -> 3.56 s (-27%). Model correction recorded
+# in PERFORMANCE.md: the win is bounded by the non-gather op share (the
+# headline runs near the row-gather floor, which is linear in lanes), not
+# the 2-2.5x the pure op-count projection promised.
+PASS_STACK = 8  # passes per stacked group (1 = off)
+
+# Band ROWS per stacked band (the trailing axis multiplies lanes/band by
+# P, so the row optimum sits below TILE_RAYS; 1024 rows x P=8 = 8192
+# lanes/band, consistent with the unstacked 4096-8192-lane optimum).
+STACK_TILE_ROWS = 1024
 
 
 def _morton10(x, y, z):
@@ -423,19 +441,26 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     tiles = auto_tiles(n)
     while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
         tiles //= 2
-    if (tiles > 1 and DEFERRED_SHADE and PASS_STACK > 1
-            and accel is not None and opts.reflectIter == 0):
+    # effective stack: largest divisor of the pass count <= PASS_STACK
+    # (see the flag comment; p_eff == 1 falls through to the unstacked scan)
+    p_eff = 1
+    if PASS_STACK > 1 and accel is not None and opts.reflectIter == 0:
+        for cand in range(min(PASS_STACK, int(times.shape[0])), 0, -1):
+            if times.shape[0] % cand == 0:
+                p_eff = cand
+                break
+    if tiles > 1 and DEFERRED_SHADE and p_eff > 1:
         # stacked trailing-lane engine (see PASS_STACK): bounce-free presets
         # on the accel path; reflective presets keep COMPACT_SECONDARY
-        if times.shape[0] % PASS_STACK != 0:
-            raise ValueError(
-                f"PASS_STACK={PASS_STACK} must divide the pass count "
-                f"{times.shape[0]} (pad spp or set PASS_STACK=1)"
-            )
         from .march import _carry_vma
         from .sampling import transpose_table_stacked
 
-        p = PASS_STACK
+        p = p_eff
+        # stacked bands target STACK_TILE_ROWS rows (P trailing lanes each)
+        tiles = 1
+        while (tiles < MAX_TILES and n % (tiles * 2) == 0
+               and n // (tiles * 2) >= STACK_TILE_ROWS):
+            tiles *= 2
         ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
         zero = jnp.zeros((n,), jnp.int32)
         cost0 = _carry_vma({"a": zero, "b": zero}, accum)

@@ -15,6 +15,8 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   8. wide ground block on/off (march.WIDE_GROUND)
   9. active-lane-compacted secondary loops on/off
      (render.COMPACT_SECONDARY; metal's bounces engage the compact path)
+ 10. pass-stacked trailing-lane engine on/off (render.PASS_STACK; needs a
+     bounce-free preset + >= 2*TILE_RAYS px, run on a 128x64 ao config)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -154,6 +156,27 @@ def main():
             record("wide_ground_on_off", ref, w)
         finally:
             march_mod.WIDE_GROUND = saved_wg
+            render_mod._render_jit.clear_cache()
+
+    if run_inv("pass_stack_on_off"):
+        # the stacked trailing-lane engine needs a bounce-free preset and
+        # >= 2*TILE_RAYS pixels; 128x64 ao with 4 passes engages it
+        opts_ps = render_options(
+            width=128, height=64, vres=list(vres), iter=4, mat="ao",
+            eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+        )
+        tables4 = make_mc_tables(4, seed=0)
+        saved_ps = render_mod.PASS_STACK
+        try:
+            render_mod.PASS_STACK = 1
+            render_mod._render_jit.clear_cache()
+            s0, _ = render_mod.render_image(vol, opts_ps, tables4, accel=accel)
+            render_mod.PASS_STACK = saved_ps if saved_ps > 1 else 4
+            render_mod._render_jit.clear_cache()
+            s1, _ = render_mod.render_image(vol, opts_ps, tables4, accel=accel)
+            record("pass_stack_on_off", s0, s1)
+        finally:
+            render_mod.PASS_STACK = saved_ps
             render_mod._render_jit.clear_cache()
 
     if run_inv("compact_secondary_on_off"):

@@ -160,3 +160,73 @@ def test_tonemap_pack():
     tm = np.clip(tm, 0, 255).astype(np.uint32)
     want = 0xFF000000 | (tm[:, 0] << 16) | (tm[:, 1] << 8) | tm[:, 2]
     np.testing.assert_array_equal(packed, want)
+
+
+def test_parity_production_pipeline(vol32, table):
+    """Oracle vs the PRODUCTION deferred pipeline — render_pass with
+    deferred phases, cost-sorted bands (pass 2 uses pass 1's REAL cost
+    maps), active-lane compaction (metal preset: bounces + 2 lights), the
+    perm/unsort bijection and the accumulation blend (VERDICT r3 item 5;
+    earlier parity cases drove scene_color directly, leaving
+    render.py:184+ covered only by engine-vs-engine invariants).
+
+    2048 px so tiles=4 (bands of 512); the scalar oracle checks a random
+    160-pixel sample (it costs ~0.1-0.2 s/pixel), while the FULL frame is
+    cross-checked against the monolithic tiles=1 path with the standard
+    CPU banding tolerance (bit-equal on TPU per tpu_invariants.py)."""
+    import scalar_ref as S
+    from raymarchcl_tpu.ops.accel import build_accel
+
+    w, h = 64, 32
+    n = w * h
+    budgets = dict(maxIter=32, maxVoxelIter=64, shadowIter=32)
+    times = [0.0, 0.333]
+    tab2 = np.asarray(sampling.generate_scatter_offsets(seed=11))
+    tabs = [table, tab2]
+
+    def mk_opts(t):
+        return render_options(
+            width=w, height=h, vres=[32, 32, 96], iter=2, t=t, mat="metal",
+            eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+            **budgets,
+        )
+
+    acc = build_accel(vol32, mk_opts(0).voxelRes, mk_opts(0).isoVal)
+    vol_j = jnp.asarray(vol32, jnp.uint8).reshape(-1)
+
+    # production path: 2 cost-sorted deferred passes at tiles=4
+    zero = jnp.zeros((n,), jnp.int32)
+    accum = jnp.zeros((n, 3), jnp.float32)
+    cost = {"a": zero, "b": zero}
+    for t, tab in zip(times, tabs):
+        accum, new_cost = render_mod.render_pass(
+            vol_j, mk_opts(t), jnp.asarray(tab), accum, accel=acc, tiles=4,
+            prev_cost=cost,
+        )
+        cost = new_cost
+    got = np.asarray(accum)
+
+    # full-frame cross-check vs the monolithic tiles=1 program
+    accum_m = jnp.zeros((n, 3), jnp.float32)
+    for t, tab in zip(times, tabs):
+        accum_m = render_mod.render_pass(
+            vol_j, mk_opts(t), jnp.asarray(tab), accum_m, accel=acc, tiles=1,
+        )
+    mono = np.asarray(accum_m)
+    rel = np.abs(got - mono) / np.maximum(np.abs(mono), 1e-3)
+    assert (rel.max(axis=1) > 1e-3).mean() < 0.005
+
+    # sampled oracle: accum = 0.25*rp0 + 0.5*rp1 (frameBlend = 1/2;
+    # render_pixel returns the exposure-scaled pass color)
+    scenes = [
+        S.Scene(S.opts_to_dict(mk_opts(t)), vol32, tab)
+        for t, tab in zip(times, tabs)
+    ]
+    rng = np.random.default_rng(5)
+    pids = rng.choice(n, size=160, replace=False)
+    bad = 0
+    for pid in pids:
+        want = 0.25 * scenes[0].render_pixel(pid) + 0.5 * scenes[1].render_pixel(pid)
+        if not np.allclose(got[pid], want, rtol=5e-3, atol=5e-3):
+            bad += 1
+    assert bad <= 2, f"{bad}/160 sampled pixels diverged from the oracle"
