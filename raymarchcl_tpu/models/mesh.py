@@ -107,6 +107,26 @@ def voxelize_ks(vertices, res, ks) -> np.ndarray:
     return vox
 
 
+def _sm64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer on uint64 arrays (wrapping arithmetic)."""
+    with np.errstate(over="ignore"):  # wrap is the point (scalar inputs warn)
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _scatter_draws(seed: int, nv: int) -> np.ndarray:
+    """(V, 12) float64 draws in [0,1) for voxelize_scatter — a counter-based
+    stream u(i,d) = sm64(sm64(seed) + i*GOLDEN + d*LEAP) that the native C++
+    path (rmcl_native.cpp: rmcl_voxelize_scatter) reproduces byte-exactly."""
+    base = _sm64(np.uint64(np.uint64(seed) & np.uint64(0xFFFFFFFFFFFFFFFF)))
+    i = np.arange(nv, dtype=np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+    d = np.arange(12, dtype=np.uint64)[None, :] * np.uint64(0xD1B54A32D192ED03)
+    u = _sm64(base + i + d)
+    return (u >> np.uint64(11)).astype(np.float64) * (1.0 / 9007199254740992.0)
+
+
 def voxelize_scatter(vertices, res, seed=0) -> np.ndarray:
     """Randomized scatter/streak voxelizer (reference: meshvoxel.clj:25-43)
     used for the smoke/disintegration gallery renders. Per vertex: with
@@ -114,25 +134,48 @@ def voxelize_scatter(vertices, res, seed=0) -> np.ndarray:
     random fraction, -z by a random chunk, +y by 0.4*res, as a 3^3 block of
     value 64. Y-MAJOR voxel index (quirk, meshvoxel.clj:42).
 
-    The reference uses an unseeded global RNG; we take an explicit seed."""
-    rng = np.random.default_rng(seed)
-    scale = mesh_scale(vertices, res)
+    The reference uses an unseeded global RNG; we take an explicit seed and
+    draw from a counter-based splitmix64 stream (_scatter_draws) so the
+    numpy and native C++ paths are byte-identical."""
+    vertices = np.asarray(vertices, np.float32)
+    off, pmin, s = _scale_params(vertices, res)
+    if _native is not None and _native.available():
+        return _native.voxelize_scatter(vertices, res, off, pmin, s, seed)
     r2 = res / 2.0
+    f = _scatter_draws(seed, vertices.shape[0])
+    sv = off + (vertices.astype(np.float64) - pmin) * s
+    x0 = np.trunc(sv[:, 0]).astype(np.int64)
+    y0 = np.trunc(sv[:, 1]).astype(np.int64)
+    z0 = np.trunc(sv[:, 2]).astype(np.int64)
+    n = np.where(f[:, 0] < 0.25,
+                 np.ceil(5.0 * f[:, 1]).astype(np.int64), 1)
+    n = np.maximum(n, 1)
+    y = np.trunc(y0 + res * 0.4).astype(np.int64)
+    xs, ys, zs = [], [], []
+    for k in range(5):
+        act = k < n
+        if not act.any():
+            continue
+        dx = np.trunc(f[:, 2 + 2 * k] * ((k / 5.0) * r2)).astype(np.int64)
+        x = np.trunc(x0 - dx + res * 0.4).astype(np.int64)
+        z = np.maximum(
+            z0 - np.trunc(r2 * (0.125 * f[:, 3 + 2 * k] + 0.125)).astype(np.int64),
+            0)
+        xs.append(x[act])
+        ys.append(y[act])
+        zs.append(z[act])
+    X = np.concatenate(xs) if xs else np.zeros(0, np.int64)
+    Y = np.concatenate(ys) if ys else np.zeros(0, np.int64)
+    Z = np.concatenate(zs) if zs else np.zeros(0, np.int64)
     vox = np.zeros(res * res * res, dtype=np.uint8)
     rxy = res * res
-    for v in vertices:
-        x0, y0, z0 = (int(c) for c in scale(v))
-        n = int(np.ceil(rng.uniform(0, 5))) if rng.random() < 0.25 else 1
-        for i in range(max(n, 1)):
-            dx = int(rng.uniform(0, (i / 5.0) * r2))
-            x = int(x0 - dx + res * 0.4)
-            z = max(z0 - int(r2 * (0.125 * rng.random() + 0.125)), 0)
-            y = int(y0 + res * 0.4)
-            for zz in range(z - 1, z + 2):
-                for yy in range(y - 1, y + 2):
-                    for xx in range(x - 1, x + 2):
-                        if 0 <= zz < res and 0 <= yy < res and 0 <= xx < res:
-                            vox[yy * rxy + zz * res + xx] = 64
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx_ in (-1, 0, 1):
+                xx, yy, zz = X + dx_, Y + dy, Z + dz
+                m = ((xx >= 0) & (xx < res) & (yy >= 0) & (yy < res)
+                     & (zz >= 0) & (zz < res))
+                vox[yy[m] * rxy + zz[m] * res + xx[m]] = 64
     return vox
 
 

@@ -59,6 +59,10 @@ def _load():
         lib.rmcl_voxelize_ks.argtypes = [
             f32p, ctypes.c_int64, c, c, f64p, f64p, ctypes.c_double, u8p,
         ]
+        lib.rmcl_voxelize_scatter.argtypes = [
+            f32p, ctypes.c_int64, c, f64p, f64p, ctypes.c_double,
+            ctypes.c_uint64, u8p,
+        ]
         lib.rmcl_save_volume.argtypes = [ctypes.c_char_p, c, c, c, u8p]
         lib.rmcl_save_volume.restype = c
         lib.rmcl_load_volume_header.argtypes = [ctypes.c_char_p, i32p]
@@ -110,6 +114,19 @@ def voxelize_ks(verts, res, ks, off, pmin, scale) -> np.ndarray:
         np.ascontiguousarray(off, np.float64),
         np.ascontiguousarray(pmin, np.float64),
         np.float64(scale), out,
+    )
+    return out
+
+
+def voxelize_scatter(verts, res, off, pmin, scale, seed) -> np.ndarray:
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    out = np.empty(res * res * res, dtype=np.uint8)
+    lib.rmcl_voxelize_scatter(
+        verts, verts.shape[0], res,
+        np.ascontiguousarray(off, np.float64),
+        np.ascontiguousarray(pmin, np.float64),
+        np.float64(scale), ctypes.c_uint64(int(seed) & (2**64 - 1)), out,
     )
     return out
 

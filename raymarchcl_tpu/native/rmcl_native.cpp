@@ -121,6 +121,52 @@ void rmcl_voxelize_ks(const float *verts, int64_t nv, int32_t res, int32_t ks,
   }
 }
 
+// Scatter/streak voxelizer (meshvoxel.clj:25-43 semantics; Y-MAJOR index).
+// Randomness is the counter-based splitmix64 stream defined in
+// models/mesh.py::_scatter_draws — u(i,d) = sm64(sm64(seed) + i*GOLDEN +
+// d*LEAP), float = (u >> 11) * 2^-53 — so this path is byte-identical to
+// the numpy fallback (tests/test_native.py).
+static inline uint64_t sm64(uint64_t z) {
+  z += 0x9E3779B97F4A7C15ULL;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+void rmcl_voxelize_scatter(const float *verts, int64_t nv, int32_t res,
+                           const double *off, const double *pmin, double scale,
+                           uint64_t seed, uint8_t *out) {
+  const int64_t rxy = (int64_t)res * res;
+  memset(out, 0, rxy * res);
+  const uint64_t base = sm64(seed);
+  const double r2 = res / 2.0;
+  for (int64_t i = 0; i < nv; i++) {
+    const uint64_t vi = base + (uint64_t)i * 0x9E3779B97F4A7C15ULL;
+    double f[12];
+    for (int d = 0; d < 12; d++)
+      f[d] = (double)(sm64(vi + (uint64_t)d * 0xD1B54A32D192ED03ULL) >> 11) *
+             (1.0 / 9007199254740992.0);
+    const int64_t x0 = (int64_t)(off[0] + (verts[i * 3 + 0] - pmin[0]) * scale);
+    const int64_t y0 = (int64_t)(off[1] + (verts[i * 3 + 1] - pmin[1]) * scale);
+    const int64_t z0 = (int64_t)(off[2] + (verts[i * 3 + 2] - pmin[2]) * scale);
+    int64_t n = f[0] < 0.25 ? (int64_t)ceil(5.0 * f[1]) : 1;
+    if (n < 1) n = 1;
+    const int64_t y = (int64_t)(y0 + res * 0.4);
+    for (int64_t k = 0; k < n && k < 5; k++) {
+      const int64_t dx = (int64_t)(f[2 + 2 * k] * ((k / 5.0) * r2));
+      const int64_t x = (int64_t)(x0 - dx + res * 0.4);
+      int64_t z = z0 - (int64_t)(r2 * (0.125 * f[3 + 2 * k] + 0.125));
+      if (z < 0) z = 0;
+      for (int64_t zz = z - 1; zz <= z + 1; zz++)
+        for (int64_t yy = y - 1; yy <= y + 1; yy++)
+          for (int64_t xx = x - 1; xx <= x + 1; xx++)
+            if (xx >= 0 && xx < res && yy >= 0 && yy < res && zz >= 0 &&
+                zz < res)
+              out[yy * rxy + zz * res + xx] = 64;
+    }
+  }
+}
+
 // ------------------------------------------------------------- .vox I/O --
 static void write_be32(FILE *f, int32_t v) {
   unsigned char b[4] = {(unsigned char)((v >> 24) & 0xff),

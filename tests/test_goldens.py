@@ -38,14 +38,58 @@ CASES = {
         width=48, height=32, iter=2, vres=48, mat="metal2", theta=135, dist=2.25,
         dof=0.05,
     ),
+    # non-gyroid volume families (terrain/heatmap/scatter had no golden
+    # before round 4); volume= names a builder below
+    "terrain-ao": dict(
+        width=48, height=32, iter=1, vres=40, mat="ao", theta=135, dist=2.25,
+        volume="terrain",
+    ),
+    "heatmap-orange": dict(
+        width=48, height=32, iter=1, vres=32, mat="orange-stripes", theta=45,
+        dist=2.25, volume="heatmap",
+    ),
+    "scatter-metal": dict(
+        width=48, height=32, iter=1, vres=32, mat="metal", theta=135,
+        dist=2.25, volume="scatter",
+    ),
 }
 BUDGETS = dict(maxIter=32, maxVoxelIter=64, shadowIter=32)
+
+
+def _volume(kind, vres):
+    from raymarchcl_tpu.models import mesh
+
+    if kind == "terrain":
+        return generators.make_terrain({"vres": [vres] * 3})
+    if kind == "heatmap":
+        # deterministic synthetic gray image (no asset needed)
+        yy, xx = np.mgrid[0:vres, 0:vres]
+        gray = ((np.sin(xx * 0.4) * np.cos(yy * 0.3) * 0.5 + 0.5) * 200).astype(
+            np.uint8)
+        return mesh.make_heatmap(gray, amp=0.15, res=vres)
+    if kind == "scatter":
+        stl = os.path.join(os.path.dirname(__file__), "..", "assets",
+                           "trefoil.stl")
+        return mesh.voxelize_scatter(mesh.read_stl(stl), vres, seed=3)
+    raise ValueError(kind)
 
 
 def _render(name):
     cfg = dict(CASES[name])
     cfg.update(BUDGETS)
-    return api.test_render(out_path=None, seed=7, verbose=False, **cfg)
+    kind = cfg.pop("volume", None)
+    if kind is None:
+        return api.test_render(out_path=None, seed=7, verbose=False, **cfg)
+    vres = cfg.pop("vres")
+    theta, dist = cfg.pop("theta"), cfg.pop("dist")
+    from raymarchcl_tpu.ops.camera import compute_eyepos
+
+    argb, _ = api.render_frame(
+        _volume(kind, vres), (vres,) * 3, seed=7,
+        eyepos=compute_eyepos(theta, dist, 0.35), targetpos=[0, -0.4, 0],
+        **cfg,
+    )
+    return np.asarray(argb)
 
 
 def _golden_path(name):

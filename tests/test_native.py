@@ -78,6 +78,21 @@ def test_voxelizers_native_vs_numpy():
     np.testing.assert_array_equal(a, b)
 
 
+def test_voxelize_scatter_native_vs_numpy():
+    """The scatter voxelizer's counter-based splitmix64 stream
+    (mesh._scatter_draws / rmcl_voxelize_scatter) must make the two paths
+    byte-identical — including the trunc-toward-zero coordinate casts."""
+    from raymarchcl_tpu.models import mesh
+
+    rng = np.random.default_rng(11)
+    verts = rng.uniform(-1, 2, (700, 3)).astype(np.float32)
+    for seed in (0, 3, 2**63 + 5):
+        a = mesh.voxelize_scatter(verts, 32, seed=seed)
+        b = _pure(None, mesh.voxelize_scatter, verts, 32, seed=seed)
+        np.testing.assert_array_equal(a, b)
+        assert set(np.unique(a)) <= {0, 64} and (a > 0).any()
+
+
 def test_vox_io_native_roundtrip(tmp_path):
     vox = np.random.default_rng(0).integers(0, 256, 3 * 4 * 5, dtype=np.uint8)
     p = str(tmp_path / "n.vox")
