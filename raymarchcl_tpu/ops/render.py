@@ -124,6 +124,16 @@ DEFERRED_SHADE = True
 # Trace-time constant — clear the render jit cache when flipping.
 COMPACT_SECONDARY = True
 
+# Per-LOOP history keys for the compacted secondary loops (reflective
+# presets): the spp scan additionally carries each bounce-march / shadow
+# loop's per-pixel applications (shade.compact_loop_names), and each loop's
+# active lanes are ordered inside the compaction by its own 5x5-max-filtered
+# history | loop-origin Morton (shade._loop_key). Offline oracle
+# (audit_config4 --study-keys, 256^2 metal): paid secondary apps 38.6M ->
+# 20.0M at 1024-row keyed bands. Grouping-only => bit-equal on TPU.
+# Trace-time constant — clear the render jit cache when flipping.
+LOOP_KEYS = True
+
 
 # Pass-stacking: render PASS_STACK spp passes of the same pixel band as ONE
 # program whose march/shade carries are literally (N, P) with the pass axis
@@ -167,18 +177,9 @@ PASS_STACK = 8  # passes per stacked group (1 = off)
 STACK_TILE_ROWS = 1024
 
 
-def _morton10(x, y, z):
-    """Interleave 3x10-bit coords -> 30-bit Morton key (int32)."""
-
-    def split(v):
-        v = v.astype(jnp.uint32) & jnp.uint32(0x3FF)
-        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
-        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
-        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
-        v = (v | (v << 2)) & jnp.uint32(0x09249249)
-        return v
-
-    return (split(x) | (split(y) << 1) | (split(z) << 2)).astype(jnp.int32)
+# Morton key (moved to vecmath so shade.py's per-loop compaction keys can
+# share it; kept under the old name for the audit/bench scripts).
+from .vecmath import morton10 as _morton10  # noqa: E402
 
 
 def _maxfilt2d(cost, w, k):
@@ -209,6 +210,12 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
     * phase B bands by a 5x5-max filter of the previous pass's secondary
       (shadow + bounce) applications, with the hit-position Morton code as
       the tiebreak (5.3x unsorted / 3.8x Morton -> 2.5x);
+    * on the compacted reflective path, prev_cost may carry a 'loops'
+      sub-dict of PER-LOOP application maps (see shade.compact_loop_names);
+      each secondary loop's active lanes are then additionally ordered by
+      its own 5x5-max-filtered history inside the compaction, and new_cost
+      returns this pass's per-loop maps (audit_config4 --study-keys: paid
+      secondary apps 38.6M -> 20.0M at 256^2 metal);
 
     and the pass additionally returns this pass's cost maps. Sorting is
     grouping-only — per-ray math is unchanged, output bit-equal on TPU
@@ -274,17 +281,29 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
 
     # --- phase B: per-band shading (scene_color minus the primary march,
     # incl. the bounce loop for reflective presets) ----------------------
+    loop_apps = None
     if COMPACT_SECONDARY and opts.reflectIter > 0:
         from .shade import shade_after_march_compact
 
         isec_d = {"pos": ipos, "distance": idist, "object_id": iobj,
                   "normal": inorm}
-        col = shade_after_march_compact(
+        prev_loops = prev_cost.get("loops") if stats else None
+        pl = None
+        if prev_loops is not None:
+            # per-loop history to caller lane order: filter in pixel-grid
+            # order, then ride the same two permutations as the lanes
+            pl = {nm: jnp.take(jnp.take(_maxfilt2d(v, w, 5), order_a), perm)
+                  for nm, v in prev_loops.items()}
+        ret = shade_after_march_compact(
             vol, opts, table_t, tiles, px, py, mcn, rpos, rdir, isec_d,
-            accel, want_stats=stats,
+            accel, want_stats=stats, prev_loops=pl,
         )
-        if stats:
-            col, apps_b = col
+        if stats and pl is not None:
+            col, apps_b, loop_apps = ret
+        elif stats:
+            col, apps_b = ret
+        else:
+            col = ret
     else:
         def shade_band(_, xs):
             (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
@@ -314,6 +333,13 @@ def _render_pass_deferred(vol, opts, table_t, accum, ids, accel, tiles,
             "a": jnp.zeros((n,), jnp.int32).at[order_a].set(apps_a),
             "b": jnp.zeros((n,), jnp.int32).at[perm_total].set(apps_b),
         }
+        if loop_apps is not None:
+            new_cost["loops"] = {
+                nm: jnp.zeros((n,), jnp.int32).at[perm_total].set(v)
+                for nm, v in loop_apps.items()
+            }
+        elif "loops" in prev_cost:  # carry structure if a non-compact
+            new_cost["loops"] = prev_cost["loops"]  # path was configured
         return accum + (col_unsorted - accum) * opts.frameBlend, new_cost
     col_unsorted = jnp.zeros_like(col_a).at[perm].set(col_a)
     return accum + (col_unsorted - accum) * opts.frameBlend
@@ -490,9 +516,18 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         from .march import _carry_vma
 
         zero = jnp.zeros((n,), jnp.int32)
+        cost_dict = {"a": zero, "b": zero}
+        if LOOP_KEYS and COMPACT_SECONDARY and opts.reflectIter > 0:
+            # reflective presets also carry PER-LOOP cost maps so each
+            # compacted secondary loop band-sorts by its own history
+            # (shade.compact_loop_names / _render_pass_deferred)
+            from .shade import compact_loop_names
+
+            cost_dict["loops"] = {
+                nm: zero for nm in compact_loop_names(opts)}
         # scan carries need matching varying-manual-axes under shard_map
         # (see march._carry_vma)
-        cost0 = _carry_vma({"a": zero, "b": zero}, accum)
+        cost0 = _carry_vma(cost_dict, accum)
 
         def step(carry, xs):
             acc, cost = carry

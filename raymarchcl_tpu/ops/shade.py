@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from . import sampling
 from .march import _take_flat, distance_to_scene, raymarch
-from .vecmath import V3, dot, mix, normalize, reflect, where3
+from .vecmath import V3, dot, mix, morton_quant_key, normalize, reflect, where3
 
 _F32 = jnp.float32
 
@@ -37,6 +37,14 @@ _F32 = jnp.float32
 # 4/5); the ao headline has one light. Trace-time constant (clear the
 # render jit cache when flipping). OFF until the hardware A/B lands.
 STACK_LIGHT_SHADOWS = False
+
+# Band ROWS for the KEYED compacted secondary loops (shade_after_march_compact
+# with prev_loops): per-loop history keys group like-cost lanes, so smaller
+# bands capture the grouping where the unkeyed partition couldn't
+# (audit_config4 --study-keys band sweep at 256^2 metal: paid secondary apps
+# 30.4M @ 4096 rows -> 20.0M @ 1024 rows). Trace-time constant — clear the
+# render jit cache when flipping.
+KEYED_TILE_ROWS = 1024
 
 
 def sky_gradient(opts, rdir: V3) -> V3:
@@ -485,13 +493,31 @@ def _unpack_u32(mat, leaves, treedef):
     return jax.tree_util.tree_unflatten(treedef, outs)
 
 
-def _compact_banded(tiles, act, fn, ins):
+def _compact_banded(tiles, act, fn, ins, key=None):
     """Run `fn` (dict of (nt,...) band arrays -> dict of band outputs,
     containing a banded while-loop march) over `tiles` bands with the
     active lanes compacted to the front. Returns full-frame outputs in the
     caller's lane order. Data movement is ONE packed row scatter in + ONE
-    packed row gather out (see _pack_u32)."""
-    rank = _compact_perm(act)
+    packed row gather out (see _pack_u32).
+
+    key: optional (N,) int32 WITHIN-ACTIVE ordering key (< 2**30) — active
+    lanes are additionally sorted ascending by it (stable), so lanes with
+    similar expected cost share a band and the band-max charge drops. The
+    config-4 audit (scripts/audit_config4.py --study-keys) measures
+    per-loop history+Morton keys cutting paid secondary applications a
+    further ~1.3x over plain partition; the keyed rank costs the same as
+    the 2-cumsum partition on v5e (the packed scatter/gather dominates
+    either way). Ordering is grouping-only — outputs stay bit-equal."""
+    if key is not None:
+        sp = jnp.argsort(
+            jnp.where(act, key, jnp.int32(2**30)), stable=True)
+        rank = (
+            jnp.zeros_like(sp)
+            .at[sp]
+            .set(jnp.arange(sp.shape[0], dtype=jnp.int32))
+        )
+    else:
+        rank = _compact_perm(act)
     mat, leaves, treedef = _pack_u32(ins)
     mat_c = jnp.zeros_like(mat).at[rank].set(mat)
     ins_c = _unpack_u32(mat_c, leaves, treedef)
@@ -506,9 +532,23 @@ def _compact_banded(tiles, act, fn, ins):
     return _unpack_u32(jnp.take(mat_o, rank, axis=0), leaves_o, treedef_o)
 
 
+def compact_loop_names(opts):
+    """Static names of the keyed compacted secondary loops for a reflective
+    preset: bounce marches `b{b}m`, bounce shadows `b{b}s{li}`, primary
+    shadows `ps{li}`. These are the loops whose per-lane applications the
+    deferred pipeline carries across passes as per-loop history keys (AO
+    probes are excluded: ~free at spec after exact truncation)."""
+    names = []
+    for b in range(opts.reflectIter):
+        names.append(f"b{b}m")
+        names += [f"b{b}s{li}" for li in range(opts.numLights)]
+    names += [f"ps{li}" for li in range(opts.numLights)]
+    return names
+
+
 def shade_after_march_compact(
     vol, opts, table_t, tiles, px, py, mc_normal: V3, ray_pos: V3,
-    ray_dir: V3, isec, accel=None, want_stats=False,
+    ray_dir: V3, isec, accel=None, want_stats=False, prev_loops=None,
 ):
     """shade_after_march with every secondary while_loop (bounce marches,
     shadow marches, AO probes) run over active-compacted cost bands.
@@ -518,9 +558,35 @@ def shade_after_march_compact(
     the lane grouping of the secondary loops differs, so results are
     bit-equal on TPU. Elementwise glue (light geometry, combine,
     atmosphere) runs full-frame — banding only ever existed for the
-    while_loops."""
+    while_loops.
+
+    prev_loops: optional dict (see compact_loop_names) of (N,) int32
+    PER-LOOP history keys in the caller's lane order (the previous pass's
+    5x5-max-filtered applications of the same loop) — each loop's active
+    lanes are then ordered by its own key inside the compaction
+    (_compact_banded(key=...)), and the return value grows a per-loop apps
+    dict: (col, apps, loop_apps). Measured offline (audit_config4
+    --study-keys): paid secondary apps 38.6M -> 30.4M at 4096-row bands,
+    -> 20.0M at 1024-row bands. Ordering is grouping-only: bit-equal."""
     n = ray_dir.x.shape[0]
     apps = [jnp.zeros((n,), jnp.int32)]
+    loop_apps = {}
+    key_of = (lambda name: None) if prev_loops is None else prev_loops.get
+    tiles_k = tiles
+    if prev_loops is not None:
+        assert want_stats, "prev_loops requires want_stats (per-loop apps)"
+        while n % (tiles_k * 2) == 0 and n // (tiles_k * 2) >= KEYED_TILE_ROWS:
+            tiles_k *= 2
+
+    def _loop_key(name, origin):
+        # composite within-active ordering key: previous-pass cost bucket
+        # (12 bits, the audit's best signal) | loop-origin Morton tiebreak
+        # (14 bits) — fits under _compact_banded's 2**30 inactive sentinel
+        hist = key_of(name)
+        if hist is None:
+            return None
+        return (jnp.clip(hist, 0, 4095) << 14) | (morton_quant_key(origin) >> 16)
+
     sky = sky_gradient(opts, ray_dir)
     hit = isec["distance"] < opts.maxDist  # renderer.cl:415
     shade_act = hit
@@ -551,23 +617,29 @@ def shade_after_march_compact(
         return {"ao": ambient_occlusion(
             vol, opts, table_t, xs["pos"], xs["normal"], xs["act"], accel)}
 
-    def lighting(pos, view_dir, midx, normal, refl_col, act):
-        # object_lighting (renderer.cl:348-381), loops compact-banded
+    def lighting(pos, view_dir, midx, normal, refl_col, act, sname=None):
+        # object_lighting (renderer.cl:348-381), loops compact-banded;
+        # sname: light index -> loop name for the per-loop history keys
         albedo_l, r0_l, sm_l = _mat_gather(opts, midx)
         lt = light_geometry(opts, table_t, px, py, pos, view_dir, normal, act)
         ao = _compact_banded(
             tiles, act, ao_fn, {"pos": pos, "normal": normal, "act": act}
         )["ao"]
         sfs = []
-        for l in lt:
+        for li, l in enumerate(lt):
+            name = None if sname is None else sname(li)
+            k = None if name is None else _loop_key(name, l["origin"])
             ret = _compact_banded(
-                tiles, l["act"], shadow_fn,
+                tiles if k is None else tiles_k, l["act"], shadow_fn,
                 {"origin": l["origin"], "ldir": l["ldir"], "lmax": l["lmax"],
                  "act": l["act"]},
+                key=k,
             )
             sfs.append(ret["sf"])
             if want_stats:
                 apps[0] = apps[0] + ret["apps"]
+                if name is not None and prev_loops is not None:
+                    loop_apps[name] = ret["apps"]
         return light_combine(
             opts, view_dir, normal, albedo_l, r0_l, sm_l, refl_col, ao, lt, sfs
         )
@@ -576,15 +648,19 @@ def shade_after_march_compact(
         b_active = shade_act & (r0 > 0.0)
         acc = V3.const((0.0, 0.0, 0.0), like=r0)
         r_dir, r_pos, r_norm = ray_dir, isec["pos"], norm_p
-        for _ in range(opts.reflectIter):
+        for b in range(opts.reflectIter):
             r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
             bounce_origin = r_pos + r_dir * 0.0075  # renderer.cl:434
+            k = _loop_key(f"b{b}m", bounce_origin)
             bisec = _compact_banded(
-                tiles, b_active, march_fn,
+                tiles if k is None else tiles_k, b_active, march_fn,
                 {"pos": bounce_origin, "dir": r_dir, "act": b_active},
+                key=k,
             )
             if want_stats:
                 apps[0] = apps[0] + bisec["apps"]
+                if prev_loops is not None:
+                    loop_apps[f"b{b}m"] = bisec["apps"]
             # basic_scene_color (renderer.cl:383-405), loops compact-banded
             b_sky = sky_gradient(opts, r_dir)
             b_hit = bisec["object_id"] >= 0
@@ -592,7 +668,7 @@ def shade_after_march_compact(
             refl_sky = sky_gradient(opts, reflect(r_dir, bisec["normal"]))
             lit_b = lighting(
                 bisec["pos"], r_dir, b_mat, bisec["normal"], refl_sky,
-                b_active & b_hit,
+                b_active & b_hit, sname=lambda li, b=b: f"b{b}s{li}",
             )
             col_i = where3(b_hit, lit_b, b_sky)
             col_i = apply_atmosphere(
@@ -610,11 +686,13 @@ def shade_after_march_compact(
         reflect_col = sky_gradient(opts, reflect(ray_dir, norm_p))
 
     lit = lighting(isec["pos"], ray_dir, mat_idx, norm_p, reflect_col,
-                   shade_act)
+                   shade_act, sname=lambda li: f"ps{li}")
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
         opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
     )
     if want_stats:
+        if prev_loops is not None:
+            return col, apps[0], loop_apps
         return col, apps[0]
     return col

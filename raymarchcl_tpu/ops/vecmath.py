@@ -135,3 +135,27 @@ def where3(mask, a: V3, b: V3) -> V3:
         jnp.where(mask, a.y, b.y),
         jnp.where(mask, a.z, b.z),
     )
+
+
+def morton10(x, y, z):
+    """Interleave 3x10-bit coords -> 30-bit Morton key (int32). Spatial
+    locality key shared by the deferred shade sort (ops/render.py) and the
+    per-loop compaction keys (ops/shade.py)."""
+
+    def split(v):
+        v = v.astype(jnp.uint32) & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    return (split(x) | (split(y) << 1) | (split(z) << 2)).astype(jnp.int32)
+
+
+def morton_quant_key(pos: V3) -> jnp.ndarray:
+    """Morton code of a world position quantized to the renderer's [-2, 2]
+    scene box at 10 bits/axis (the deferred pipeline's spatial key)."""
+    scale = jnp.float32(1023.0 / 4.0)
+    qk = lambda c: jnp.clip((c + 2.0) * scale, 0.0, 1023.0).astype(jnp.int32)
+    return morton10(qk(pos.x), qk(pos.y), qk(pos.z))

@@ -132,6 +132,7 @@ def main():
         # bounce chain (shade_after_march:405-428), stats per loop
         b_active = hit & (r0 > 0.0)
         r_dir, r_pos, r_norm = ray_dir, isec["pos"], norm_p
+        pos_of = {}
         for b in range(opts.reflectIter):
             r_dir = where3(b_active, reflect(r_dir, r_norm), r_dir)
             borig = r_pos + r_dir * 0.0075
@@ -141,6 +142,7 @@ def main():
                 want_stats=True,
             )
             out[f"bounce{b}_march"] = (bisec["apps"], b_active)
+            pos_of[f"bounce{b}_march"] = jnp.stack([borig.x, borig.y, borig.z])
             bh = bisec["object_id"] >= 0
             bmat = jnp.clip(bisec["object_id"], 0, 3)
             blt = shade.light_geometry(
@@ -153,6 +155,8 @@ def main():
                     accel, want_stats=True,
                 )
                 out[f"bounce{b}_shadow{li}"] = (sapps, l["act"])
+                pos_of[f"bounce{b}_shadow{li}"] = jnp.stack(
+                    [l["origin"].x, l["origin"].y, l["origin"].z])
             b_r0 = jnp.take(opts.mat_r0, bmat)
             b_active = b_active & bh & (b_r0 >= 0.001)
             r_pos, r_norm = bisec["pos"], bisec["normal"]
@@ -166,11 +170,14 @@ def main():
                 accel, want_stats=True,
             )
             out[f"primary_shadow{li}"] = (sapps, l["act"])
+            pos_of[f"primary_shadow{li}"] = jnp.stack(
+                [l["origin"].x, l["origin"].y, l["origin"].z])
 
-        return out, isec["pos"], isec["distance"]
+        return out, isec["pos"], isec["distance"], pos_of
 
-    out, ipos, idist = stage_all(vol, opts2, table_t2, ids2, accel)
+    out, ipos, idist, pos_of = stage_all(vol, opts2, table_t2, ids2, accel)
     out = jax.device_get(out)
+    pos_of = jax.device_get(pos_of)
     ipos = jax.device_get(jnp.stack([ipos.x, ipos.y, ipos.z]))
     idist = np.asarray(idist)
 
@@ -264,7 +271,23 @@ def main():
         out1 = jax.device_get(stage_all(
             vol, opts.replace(time=times[0]), transpose_table(tables[0]),
             jnp.arange(n, dtype=jnp.int32), accel)[0])
-        th = 0
+
+        def mkey(name):
+            # per-loop Morton code of the loop's own ray origin
+            p3 = pos_of[name]
+            return np.asarray(_morton10(
+                jnp.asarray(qk(p3[0]), jnp.int32),
+                jnp.asarray(qk(p3[1]), jnp.int32),
+                jnp.asarray(qk(p3[2]), jnp.int32))).astype(np.int64)
+
+        def paid_banded(apps, order, rows_per_band):
+            a = np.asarray(apps)[order]
+            nb = n // rows_per_band
+            a = a.reshape(nb, rows_per_band)
+            return int(a.max(axis=1).astype(np.int64).sum() * rows_per_band)
+
+        variants = {"hist": 0, "hist_morton": 0, "morton": 0}
+        band_sweep = {1024: 0, 2048: 0, 4096: 0}
         hist_rows = {}
         for name, (apps, act) in out.items():
             if name == "primary_march" or name not in out1:
@@ -274,13 +297,30 @@ def main():
             prev = np.asarray(_maxfilt2d(
                 jnp.asarray(np.asarray(out1[name][0])), w, 5))
             k = prev[order_a].astype(np.int64)  # pass-2 lanes are order_a
-            key = np.where(act, k, np.int64(1) << 40)
-            paid_h = band_paid_order(apps, np.argsort(key, kind="stable"))
-            hist_rows[name] = paid_h
-            th += paid_h
+            mk = mkey(name)
+            keys = {
+                "hist": np.where(act, k, np.int64(1) << 40),
+                "hist_morton": np.where(
+                    act, (np.clip(k, 0, 4095) << 14) | (mk >> 16),
+                    np.int64(1) << 40),
+                "morton": np.where(act, mk, np.int64(1) << 40),
+            }
+            for vn, key in keys.items():
+                paid_h = band_paid_order(apps, np.argsort(key, kind="stable"))
+                variants[vn] += paid_h
+                if vn == "hist":
+                    hist_rows[name] = paid_h
+            # band-size sweep under the composite key
+            o = np.argsort(keys["hist_morton"], kind="stable")
+            for bsz in band_sweep:
+                band_sweep[bsz] += paid_banded(apps, o, bsz)
         rows["history_key_paid"] = hist_rows
-        rows["TOTAL_secondary"]["paid_history_key"] = th
-        rows["TOTAL_secondary"]["history_cut"] = round(tp / max(th, 1), 2)
+        rows["TOTAL_secondary"]["paid_history_key"] = variants["hist"]
+        rows["TOTAL_secondary"]["history_cut"] = round(
+            tp / max(variants["hist"], 1), 2)
+        rows["TOTAL_secondary"]["paid_hist_morton"] = variants["hist_morton"]
+        rows["TOTAL_secondary"]["paid_morton_only"] = variants["morton"]
+        rows["TOTAL_secondary"]["hist_morton_band_sweep"] = band_sweep
     print(json.dumps(dict(
         config=f"{args.size}^2/{args.mat}/vres{args.vres}/scatter",
         tiles=tiles, rows=rows), indent=1))

@@ -17,6 +17,8 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
      (render.COMPACT_SECONDARY; metal's bounces engage the compact path)
  10. pass-stacked trailing-lane engine on/off (render.PASS_STACK; needs a
      bounce-free preset + >= 2*TILE_RAYS px, run on a 128x64 ao config)
+ 11. per-loop history keys for the compacted secondaries on/off
+     (render.LOOP_KEYS; metal's bounce/shadow loops engage them)
 
 Emits ONE JSON line; run before each BENCH (results recorded in
 PERFORMANCE.md).
@@ -185,6 +187,16 @@ def main():
         try:
             k, _ = render_mod.render_image(vol, opts, tables, accel=accel)
             record("compact_secondary_on_off", ref, k)
+        finally:
+            flag_flip(**saved)
+
+    if run_inv("loop_keys_on_off"):
+        # per-loop history keys for the compacted secondaries (metal
+        # engages them; 2 passes so pass 2 renders with trained keys)
+        saved = flag_flip(LOOP_KEYS=not render_mod.LOOP_KEYS)
+        try:
+            k, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("loop_keys_on_off", ref, k)
         finally:
             flag_flip(**saved)
 
