@@ -157,8 +157,12 @@ LOOP_KEYS = True
 # presets keep COMPACT_SECONDARY's lane compaction, which is (N,)-shaped).
 # The effective stack is the largest divisor of the pass count <= this
 # value (25 spp at 8 -> groups of 5); an A/B that needs an exact P should
-# assert divisibility itself (scripts/bench_pass_stack.py does).
-# Trace-time constant — clear the render jit cache when flipping.
+# assert divisibility itself (scripts/bench_pass_stack.py does). Under
+# spp sharding (parallel/tiling.py) each shard sees its LOCAL pass count
+# (16 spp / 8 chips = 2 passes/shard -> P=2 groups per shard) — the
+# divisor rule applies per shard, so unequal shard pass counts can stack
+# differently; tiling.py keeps shard pass counts equal by construction.
+# Trace-time constant; hashes into the jit key via engine_key().
 #
 # HW A/B (v5e, headline 512^2/16spp ao, bit-equal on device at every
 # point): P=1 4.87 s; at TILE_RAYS=4096 rows P=2 5.35 / P=4 4.46 / P=8
@@ -471,6 +475,13 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     # (see the flag comment; p_eff == 1 falls through to the unstacked scan)
     p_eff = 1
     if PASS_STACK > 1 and accel is not None and opts.reflectIter == 0:
+        # Reflective presets stay UNSTACKED: the round-4 hardware A/B at
+        # config 4 (metal, 4 spp) measured P=1 23.75 s / P=4 48.3 s /
+        # P=8 31.6 s (bit-equal) — a pixel ROW stays in the compacted
+        # secondary loops while ANY of its P lanes is active, so stacking
+        # multiplies paid secondary applications faster than it amortizes
+        # per-group fixed costs. Negative result recorded in PERFORMANCE.md
+        # (round 4, session 3); git history has the (N, P) compact engine.
         for cand in range(min(PASS_STACK, int(times.shape[0])), 0, -1):
             if times.shape[0] % cand == 0:
                 p_eff = cand
@@ -622,8 +633,47 @@ def render_image(vol, opts, mc_tables, times=None, accum=None, accel=None,
     return np.asarray(argb).reshape(h, w), accum
 
 
-@jax.jit
-def _render_slice_jit(vol, opts, mc_tables, times, accum, ids, accel=None):
+def engine_key():
+    """Hashable snapshot of every module-level scheduling flag that shapes
+    the traced render program. The flags are trace-time constants, NOT
+    pytree state — without this key a flag flip silently reuses the cached
+    program (the CLAUDE.md footgun that made two round-2 invariant checks
+    vacuous). The jitted entries below take the key as a static arg, so
+    flipping any flag retraces by itself; `clear_cache()` calls in older
+    A/B scripts remain valid but are no longer load-bearing."""
+    from . import accel, march, shade
+
+    return (
+        DEFERRED_SHADE, TILE_RAYS, MAX_TILES, COMPACT_SECONDARY, LOOP_KEYS,
+        PASS_STACK, STACK_TILE_ROWS,
+        march.MARCH_CHUNK, march.GROUND_STEPS, march.DIST_UNROLL,
+        march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,
+        march.WIDE_GROUND,
+        shade.KEYED_TILE_ROWS,
+        accel.BRICK_SUBSTEPS,
+    )
+
+
+class _FlagKeyedJit:
+    """Callable shim around a jitted fn that injects the current
+    engine_key() as a static argument on every call (see engine_key)."""
+
+    def __init__(self, fn):
+        import functools
+
+        self._jitted = jax.jit(fn, static_argnames=("ekey",))
+        functools.update_wrapper(self, fn)
+
+    def __call__(self, *args, **kw):
+        return self._jitted(*args, ekey=engine_key(), **kw)
+
+    def clear_cache(self):
+        self._jitted.clear_cache()
+
+
+@_FlagKeyedJit
+def _render_slice_jit(vol, opts, mc_tables, times, accum, ids, accel=None,
+                      *, ekey=None):
     return render_accum(vol, opts, mc_tables, times, accum, ids=ids, accel=accel)
 
 
@@ -632,7 +682,7 @@ def _pack_jit(opts, accum):
     return pack_argb(opts, accum)
 
 
-@jax.jit
-def _render_jit(vol, opts, mc_tables, times, accum, accel=None):
+@_FlagKeyedJit
+def _render_jit(vol, opts, mc_tables, times, accum, accel=None, *, ekey=None):
     accum = render_accum(vol, opts, mc_tables, times, accum, accel=accel)
     return pack_argb(opts, accum), accum

@@ -27,17 +27,6 @@ from .vecmath import V3, dot, mix, morton_quant_key, normalize, reflect, where3
 
 _F32 = jnp.float32
 
-# Run all numLights shadow marches of a shade band in ONE while_loop by
-# stacking them along the lane axis (object_lighting): rounds drop from
-# sum-over-lights of band maxima to the max (per-light costs correlate
-# across lanes — the round-2 unified-machine study), and while-body cost
-# is strongly sublinear in lane width (PERFORMANCE.md cost model). Pure
-# lane regrouping: bit-equal by construction (tests/test_accel.py). Only
-# engages for numLights >= 2 presets (metal/terrain — BASELINE configs
-# 4/5); the ao headline has one light. Trace-time constant (clear the
-# render jit cache when flipping). OFF until the hardware A/B lands.
-STACK_LIGHT_SHADOWS = False
-
 # Band ROWS for the KEYED compacted secondary loops (shade_after_march_compact
 # with prev_loops): per-loop history keys group like-cost lanes, so smaller
 # bands capture the grouping where the unkeyed partition couldn't
@@ -261,52 +250,26 @@ def object_lighting(
     # maxima) was built, verified bit-equal on TPU, and measured ~8% SLOWER
     # at every band size — per-phase costs CORRELATE across lanes (glancing
     # geometry is expensive in every phase), so max(sum) ~= sum(max) and
-    # the machine's phase-select overhead wins. Kept sequential — but see
-    # STACK_LIGHT_SHADOWS below, which exploits the SAME correlation the
-    # opposite way: no phase select, just a wider lane axis.
+    # the machine's phase-select overhead wins. The same reasoning killed
+    # STACK_LIGHT_SHADOWS (all lights' shadow marches concatenated along
+    # the lane axis into one while_loop): bit-equal on v5e but pure noise
+    # at BOTH the 1-light headline (3.553 vs 3.503 s) and the 2-light
+    # config 4 (23.75 vs 23.71 s) — per-light round counts correlate, so
+    # max-over-lights ~= per-light maxima, and lanes aren't free once the
+    # loop is gather-bound. Deleted after the round-4 hardware A/B
+    # (PERFORMANCE.md); git history has the implementation.
     ao = ambient_occlusion(vol, opts, table_t, isec_pos, normal, active, accel)
     sfs = []
-    if STACK_LIGHT_SHADOWS and len(lt) > 1:
-        # All lights' shadow marches in ONE while_loop, stacked along the
-        # lane axis (k*N + lane = light k's ray): the band pays
-        # max-over-lights of band-max rounds instead of the sum, and
-        # while-body cost is strongly sublinear in lane width on this
-        # platform (PERFORMANCE.md cost model). Per-lane marches are
-        # independent, so every lane computes bit-identical values to the
-        # sequential loop (tests/test_accel.py::
-        # test_stacked_light_shadows_bit_equal — exact on TPU, tolerance
-        # on CPU like every full-render scheduling invariant).
-        n = ray_dir.x.shape[0]
-
-        def cat(g):
-            return jnp.concatenate([g(l) for l in lt])
-
+    for l in lt:
         ret = shadow(
-            vol, opts,
-            V3(cat(lambda l: l["origin"].x), cat(lambda l: l["origin"].y),
-               cat(lambda l: l["origin"].z)),
-            V3(cat(lambda l: l["ldir"].x), cat(lambda l: l["ldir"].y),
-               cat(lambda l: l["ldir"].z)),
-            cat(lambda l: l["lmax"]), cat(lambda l: l["act"]),
+            vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
             accel, want_stats=want_stats,
         )
         if not isinstance(ret, tuple):
             ret = (ret,)
-        sfs = [ret[0][k * n : (k + 1) * n] for k in range(len(lt))]
+        sfs.append(ret[0])
         if want_stats:
-            for k in range(len(lt)):
-                apps = apps + ret[1][k * n : (k + 1) * n]
-    else:
-        for l in lt:
-            ret = shadow(
-                vol, opts, l["origin"], l["ldir"], l["lmax"], l["act"],
-                accel, want_stats=want_stats,
-            )
-            if not isinstance(ret, tuple):
-                ret = (ret,)
-            sfs.append(ret[0])
-            if want_stats:
-                apps = apps + ret[1]
+            apps = apps + ret[1]
 
     out = light_combine(
         opts, ray_dir, normal, albedo, r0, smoothness, reflect_col, ao, lt, sfs

@@ -58,7 +58,9 @@ _TILED_CACHE = {}
 
 
 def _tiled_fn(mesh, opts, n_pad):
-    key = (mesh, jax.tree_util.tree_structure(opts), n_pad)
+    # engine_key: flag flips must produce a fresh trace (render.engine_key)
+    key = (mesh, jax.tree_util.tree_structure(opts), n_pad,
+           render_mod.engine_key())
     fn = _TILED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -93,7 +95,8 @@ def _tiled_fn(mesh, opts, n_pad):
 
 
 def _spp_fn(mesh, opts, n_passes):
-    key = ("spp", mesh, jax.tree_util.tree_structure(opts), n_passes)
+    key = ("spp", mesh, jax.tree_util.tree_structure(opts), n_passes,
+           render_mod.engine_key())
     fn = _TILED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -135,7 +138,8 @@ def _spp_fn(mesh, opts, n_passes):
 
 
 def _fn2d(mesh, opts, n_pad, n_passes):
-    key = ("2d", mesh, jax.tree_util.tree_structure(opts), n_pad, n_passes)
+    key = ("2d", mesh, jax.tree_util.tree_structure(opts), n_pad, n_passes,
+           render_mod.engine_key())
     fn = _TILED_CACHE.get(key)
     if fn is not None:
         return fn

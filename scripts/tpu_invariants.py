@@ -9,8 +9,6 @@ tolerance — XLA:CPU contracts FMAs context-dependently):
   3. Morton-sorted deferred shading on/off
   4. host_slices=1 vs 4
   5. brick edge 16 vs 8 (accel.set_brick; Accel.edge retraces by itself)
-  6. lane-stacked light shadows on/off (shade.STACK_LIGHT_SHADOWS; the
-     metal preset's 2 lights engage the stacked branch)
   7. wide substep resolve on/off (march.WIDE_SUBSTEPS)
   8. wide ground block on/off (march.WIDE_GROUND)
   9. active-lane-compacted secondary loops on/off
@@ -199,21 +197,6 @@ def main():
             record("loop_keys_on_off", ref, k)
         finally:
             flag_flip(**saved)
-
-    if run_inv("stacked_lights_on_off"):
-        # shade-module flag (trace-time, needs the cache clear); metal has
-        # numLights=2 so the stacked branch engages
-        from raymarchcl_tpu.ops import shade as shade_mod
-
-        saved_sl = shade_mod.STACK_LIGHT_SHADOWS
-        try:
-            shade_mod.STACK_LIGHT_SHADOWS = True
-            render_mod._render_jit.clear_cache()
-            h, _ = render_mod.render_image(vol, opts, tables, accel=accel)
-            record("stacked_lights_on_off", ref, h)
-        finally:
-            shade_mod.STACK_LIGHT_SHADOWS = saved_sl
-            render_mod._render_jit.clear_cache()
 
     ok = all(results.values())
     print(

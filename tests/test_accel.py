@@ -722,24 +722,3 @@ def test_brick_edge_bit_equal(scene, edge):
     )
 
 
-def test_stacked_light_shadows_bit_equal(scene):
-    """shade.STACK_LIGHT_SHADOWS runs all numLights shadow marches in one
-    lane-stacked while_loop; per-lane marches are independent, so the
-    full render must match the sequential-loop engine exactly on TPU
-    (tolerance on CPU per the module docstring). The metal scene fixture
-    has 2 lights, so the stacked branch engages."""
-    from raymarchcl_tpu.ops import shade as shade_mod
-
-    vol, _, opts, acc = scene
-    assert opts.numLights >= 2
-    tables = make_mc_tables(2, seed=6)
-    assert shade_mod.STACK_LIGHT_SHADOWS is False  # production default
-    ref = render_mod.render_image(vol, opts, tables, accel=acc)
-    try:
-        shade_mod.STACK_LIGHT_SHADOWS = True
-        render_mod._render_jit.clear_cache()
-        got = render_mod.render_image(vol, opts, tables, accel=acc)
-    finally:
-        shade_mod.STACK_LIGHT_SHADOWS = False
-        render_mod._render_jit.clear_cache()
-    assert_renders_match(got[0], ref[0], got[1], ref[1])
