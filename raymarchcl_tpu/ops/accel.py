@@ -93,7 +93,14 @@ def set_brick(n: int):
 # payload is a byte (integers <= 255 are bf16-exact, so the default
 # single-pass bf16 MXU product against a 0/1 one-hot is exact) and each
 # f32-accumulated row sum has exactly one nonzero term (march._mxu_rows).
-ONEHOT_MAX_ROWS = 4096
+#
+# Cap measured both ways on v5e (scripts/bench_mxu_rows_ab.py): 512 rows
+# (64^3 bunny) = 25% frame WIN; 4096 rows (128^3 scatter, config 4) = 21%
+# frame LOSS (6.18 s one-hot vs 4.87 gather, bit-equal) — the MAC budget
+# is linear in NB while the gather is ~flat, so the old 4096 cap sat past
+# the crossover. 1024 keeps the measured win region with margin;
+# 1024-2048 rows are untested either way.
+ONEHOT_MAX_ROWS = 1024
 
 # Safety slack subtracted from d_equiv before converting to skippable steps:
 # voxel coords are trunc-toward-zero of f32 products, so a sample i steps
@@ -103,8 +110,13 @@ ONEHOT_MAX_ROWS = 4096
 SKIP_SLACK = 3.5
 
 # Bit-test probes resolved per staged brick row before the march re-gathers
-# (march-side unroll depth; v5e sweep optimum: 6 beats 2/4/5/8 at 256^2 ao).
-BRICK_SUBSTEPS = 6
+# (march-side unroll depth). Round-2 serial sweep said 6; the round-4
+# re-sweep under the pass-stacked wide engine moved the optimum to 8
+# (headline 512^2/16spp ao: 6 -> 3.540 s, 8 -> 3.433, 12 -> 3.686,
+# 16 -> 3.956, bit-equal). Reflective presets run DEEPER probes — see
+# march.SUBSTEPS_REFLECTIVE (their secondary marches keep paying off
+# through 16: config 4 6 -> 6.180 s, 8 -> 5.774, 12 -> 5.65, 16 -> 5.403).
+BRICK_SUBSTEPS = 8
 
 
 @struct.dataclass

@@ -503,6 +503,8 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
     globals."""
     from .accel import BRICK_SUBSTEPS, SKIP_SLACK, STOP_W0
 
+    # workload-class substep depth (see SUBSTEPS_REFLECTIVE)
+    substeps = SUBSTEPS_REFLECTIVE if opts.reflectIter > 0 else BRICK_SUBSTEPS
     shift = edge.bit_length() - 1
     mask = edge - 1
     dist_w = edge**3 // 32  # STOP words precede the distance word
@@ -520,7 +522,7 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
     if WIDE_SUBSTEPS:
         return _resolve_substeps_wide(
             opts, stopw, p0, delta, k, act, cap, skip, valid,
-            bx, by, bz, edge, BRICK_SUBSTEPS,
+            bx, by, bz, edge, substeps,
         )
 
     brk = act & ~valid  # landing itself out of grid
@@ -529,7 +531,7 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
     k_end = jnp.where(brk, k, 0)
     k_exit = k
     pend = act & valid & (skip == 0)
-    for i in range(BRICK_SUBSTEPS):
+    for i in range(substeps):
         ki = k + i
         kfi = ki.astype(_F32)
         pi = V3(p0.x + delta.x * kfi, p0.y + delta.y * kfi, p0.z + delta.z * kfi)
@@ -555,7 +557,7 @@ def _probe_resolve(opts, rows, p0: V3, delta: V3, k, act, cap, inv_vps,
         k_end = jnp.where(ev_hit | ev_brk, ki, k_end)
         k_exit = jnp.where(ev_exit, ki, k_exit)
         pend = pend & in_b & vi & same & ~bit
-    k_exit = jnp.where(pend, k + BRICK_SUBSTEPS, k_exit)  # unroll out: re-gather
+    k_exit = jnp.where(pend, k + substeps, k_exit)  # unroll out: re-gather
 
     ended = hit | brk
     k_next = jnp.where(act & valid & (skip > 0), k + 1 + skip, k_exit)
@@ -1034,6 +1036,19 @@ FLAT_GROUND_STEPS = 4
 # nets out worse on HW: 12 -> 5.04 s, 16 -> 5.08 s; 16^3 bricks put the
 # word-select at (N, S, 128) and lose big: 7.6-17.2 s). PERFORMANCE.md.
 WIDE_SUBSTEPS = True
+
+# Substep depth for REFLECTIVE presets (opts.reflectIter > 0 — a static
+# opts field, so the choice is trace-time). The round-4 depth re-sweep
+# split by workload class: primary-heavy bounce-free configs optimize at
+# accel.BRICK_SUBSTEPS = 8 (deeper depths pay more trailing op cost than
+# the saved rounds return — headline 12 -> 3.69 s vs 3.43 at 8), while the
+# secondary-march-heavy reflective configs keep improving through 16
+# (config 4, 512^2 metal scatter 4 spp: 6 -> 6.18 s, 8 -> 5.77, 12 ->
+# 5.65, 16 -> 5.40; all bit-equal on v5e — substep depth is output-exact
+# by the prefix-AND first-event recovery). Their bounce/shadow marches
+# start at surfaces and cross stop-bearing bricks without stopping, so
+# more samples per row gather retire more of the march per application.
+SUBSTEPS_REFLECTIVE = 16
 
 # Wide ground block: batch the FLAT_GROUND_STEPS ground-mode steps the same
 # way — the serial recurrence is only the ~5-op dist ladder; the ~90-op

@@ -648,7 +648,7 @@ def engine_key():
         PASS_STACK, STACK_TILE_ROWS,
         march.MARCH_CHUNK, march.GROUND_STEPS, march.DIST_UNROLL,
         march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,
-        march.WIDE_GROUND,
+        march.WIDE_GROUND, march.SUBSTEPS_REFLECTIVE,
         shade.KEYED_TILE_ROWS,
         accel.BRICK_SUBSTEPS,
     )

@@ -31,9 +31,12 @@ _F32 = jnp.float32
 # with prev_loops): per-loop history keys group like-cost lanes, so smaller
 # bands capture the grouping where the unkeyed partition couldn't
 # (audit_config4 --study-keys band sweep at 256^2 metal: paid secondary apps
-# 30.4M @ 4096 rows -> 20.0M @ 1024 rows). Trace-time constant — clear the
-# render jit cache when flipping.
-KEYED_TILE_ROWS = 1024
+# 30.4M @ 4096 rows -> 20.0M @ 1024 rows). The round-4 HW sweep at config 4
+# (512^2 metal scatter, 4 spp) found the offline-apps optimum too deep once
+# per-band fixed costs (program regions, pack permutes) are priced in:
+# 512 rows 6.80 s / 1024 6.18 / **2048 5.87-5.89** / 4096 6.04 — shipped
+# 2048. Trace-time constant; hashes into the jit key via engine_key().
+KEYED_TILE_ROWS = 2048
 
 
 def sky_gradient(opts, rdir: V3) -> V3:
