@@ -110,10 +110,16 @@ def test_golden(name):
     got = imageio.argb_to_rgba(_render(name)).astype(np.int32)
     want = _load_golden(name).astype(np.int32)
     assert got.shape == want.shape
+    # Thresholds are measured, not guessed (round 4): actual forced-CPU
+    # drift vs the committed goldens is mad <= 0.013 and frac_off8 <=
+    # 0.087% across all 7 cases (band-boundary pixels whose FMA
+    # contraction differs between XLA:CPU fusion contexts). 10x headroom
+    # over that keeps version/backend float drift green while a real
+    # shading regression (wrong light, broken normal, quirk fix) trips it.
     mad = np.abs(got[..., :3] - want[..., :3]).mean()
     frac_off = (np.abs(got[..., :3] - want[..., :3]) > 8).mean()
-    assert mad < 1.5, f"{name}: mean abs diff {mad:.2f}"
-    assert frac_off < 0.01, f"{name}: {frac_off:.3%} pixels off by >8"
+    assert mad < 0.15, f"{name}: mean abs diff {mad:.3f}"
+    assert frac_off < 0.005, f"{name}: {frac_off:.3%} pixels off by >8"
 
 
 def regen():
