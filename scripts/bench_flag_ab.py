@@ -51,15 +51,18 @@ def main():
            "shade": shade_ns}[modname]
     saved = getattr(mod, flag)
 
-    if args.volume == "scatter":
+    if args.volume in ("scatter", "mesh64"):
         import os
 
         from raymarchcl_tpu.models import mesh
 
         stl = os.path.join(os.path.dirname(__file__), "..", "assets",
                            "trefoil.stl")
-        volume_np = mesh.voxelize_scatter(mesh.read_stl(stl), args.vres,
-                                          seed=3)
+        if args.volume == "scatter":
+            volume_np = mesh.voxelize_scatter(mesh.read_stl(stl), args.vres,
+                                              seed=3)
+        else:  # config 3's 64^3 voxelized-mesh scene (MXU one-hot regime)
+            volume_np = mesh.voxelize_ks(mesh.read_stl(stl), args.vres, 1)
         vres = (args.vres,) * 3
     else:
         volume_np, vres = default_volume((args.vres,) * 3)
