@@ -650,7 +650,7 @@ def engine_key():
         march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,
         march.WIDE_GROUND, march.SUBSTEPS_REFLECTIVE,
         shade.KEYED_TILE_ROWS,
-        accel.BRICK_SUBSTEPS,
+        accel.BRICK_SUBSTEPS, accel.SKIP_SLACK,
     )
 
 

@@ -30,15 +30,48 @@ def primary_rays(opts, spp=None):
     return w * h * (spp if spp is not None else round(1.0 / float(opts.frameBlend)))
 
 
-def estimated_total_rays(opts, spp=None):
+def estimated_total_rays(opts, spp=None, hit_fraction=1.0):
     """Primary + per-hit secondary rays (shadow per light, AO probes,
     reflection bounces each re-shading) — the reference's per-ray budget
-    model (BASELINE.md 'per-ray compute budgets'). An upper bound: assumes
-    every primary ray hits."""
+    model (BASELINE.md 'per-ray compute budgets').
+
+    hit_fraction scales the secondary-ray term by the measured fraction of
+    primary rays that hit geometry (misses spawn no shadows/AO/bounces —
+    renderer.cl:480-487 shades sky/fog only). The default 1.0 keeps the
+    historical upper-bound model; pass measured_hit_fraction(...) for the
+    honest variant. First-order: bounce rays that themselves miss are still
+    charged their full secondary budget."""
     p = primary_rays(opts, spp)
     per_hit = opts.numLights + (opts.aoIter + 1)
     per_hit += opts.reflectIter * (1 + opts.numLights + (opts.aoIter + 1))
-    return p * (1 + per_hit)
+    return p * (1 + hit_fraction * per_hit)
+
+
+def measured_hit_fraction(vol, opts, mc_table, accel=None):
+    """Fraction of primary rays hitting geometry (distance < maxDist) for
+    ONE pass at the given config — the measurement input for the honest
+    total-rays model above. One un-banded primary march; device values pass
+    as jit args (CLAUDE.md closure-poison gotcha)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.camera import camera_ray_lookat
+    from ..ops.march import raymarch
+    from ..ops.sampling import init_render_state, transpose_table
+
+    @jax.jit
+    def frac(vol, opts, table_t, accel):
+        ids = jnp.arange(opts.num_pixels, dtype=jnp.int32)
+        state = init_render_state(opts, table_t, ids)
+        ray_pos, ray_dir = camera_ray_lookat(opts, state)
+        act = jnp.ones((ids.shape[0],), bool)
+        isec = raymarch(
+            vol, opts, ray_pos, ray_dir, opts.maxDist, opts.maxIter,
+            smooth=False, active=act, want_normal=False, accel=accel,
+        )
+        return jnp.mean((isec["distance"] < opts.maxDist).astype(jnp.float32))
+
+    return float(frac(vol, opts, transpose_table(mc_table), accel))
 
 
 @dataclass

@@ -17,3 +17,44 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# --- distributed-test disposition logging (VERDICT r4 item 10) -----------
+# test_distributed.py has broad, legitimate skip conditions (no sockets,
+# runtime without distributed support, coordinator timeouts); a skipped run
+# must not look identical to coverage. Record ran-vs-skipped (+ reason) in
+# the terminal summary and in tests/.distributed_disposition.json so CI
+# output shows whether multi-host init was actually exercised.
+
+_DIST_REPORTS = {}
+
+
+def pytest_runtest_logreport(report):
+    if "test_distributed.py" not in report.nodeid:
+        return
+    if report.when == "call" or (report.when == "setup" and report.skipped):
+        reason = ""
+        if report.skipped and isinstance(report.longrepr, tuple):
+            reason = report.longrepr[2]
+        _DIST_REPORTS[report.nodeid] = (report.outcome, reason)
+
+
+def pytest_terminal_summary(terminalreporter):
+    if not _DIST_REPORTS:
+        return
+    import json
+
+    terminalreporter.section("distributed-test disposition")
+    for nodeid, (outcome, reason) in sorted(_DIST_REPORTS.items()):
+        line = f"{nodeid}: {outcome.upper()}"
+        if reason:
+            line += f" — {reason}"
+        terminalreporter.write_line(line)
+    path = os.path.join(os.path.dirname(__file__),
+                        ".distributed_disposition.json")
+    with open(path, "w") as f:
+        json.dump(
+            {n: {"outcome": o, "reason": r}
+             for n, (o, r) in _DIST_REPORTS.items()},
+            f, indent=1,
+        )
