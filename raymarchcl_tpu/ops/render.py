@@ -471,8 +471,12 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     tiles = auto_tiles(n)
     while tiles > 1 and (n % tiles != 0 or n // tiles < 512):
         tiles //= 2
-    # effective stack: largest divisor of the pass count <= PASS_STACK
-    # (see the flag comment; p_eff == 1 falls through to the unstacked scan)
+    # effective stack: full PASS_STACK groups plus an unstacked TAIL for the
+    # remainder (the tail passes continue the head's cost history). A clean
+    # divisor is preferred only when it is near PASS_STACK — the measured
+    # P-curve (round-4 sweep) plateaus at P=6-8 and drops sharply below
+    # (P=4 cost ~1.17x of P=8 per pass), so e.g. 25 spp runs 3x8 stacked +
+    # 1 tail pass rather than 5 groups of P=5, and 100 spp runs 12x8 + 4.
     p_eff = 1
     if PASS_STACK > 1 and accel is not None and opts.reflectIter == 0:
         # Reflective presets stay UNSTACKED: the round-4 hardware A/B at
@@ -482,9 +486,11 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         # multiplies paid secondary applications faster than it amortizes
         # per-group fixed costs. Negative result recorded in PERFORMANCE.md
         # (round 4, session 3); git history has the (N, P) compact engine.
-        for cand in range(min(PASS_STACK, int(times.shape[0])), 0, -1):
-            if times.shape[0] % cand == 0:
-                p_eff = cand
+        n_passes = int(times.shape[0])
+        p_eff = min(PASS_STACK, n_passes)
+        for cand in range(p_eff, max(1, PASS_STACK - 2) - 1, -1):
+            if n_passes % cand == 0:
+                p_eff = cand  # exact divisor in the P-curve plateau
                 break
     if tiles > 1 and DEFERRED_SHADE and p_eff > 1:
         # stacked trailing-lane engine (see PASS_STACK): bounce-free presets
@@ -492,12 +498,27 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         from .march import _carry_vma
         from .sampling import transpose_table_stacked
 
+        if accel.rows_mxu is not None or accel.nrm_mxu is not None:
+            # MXU one-hot row fetches are a measured 2.2x LOSS under
+            # pass-stacking (64^3 mesh scene, 512^2/16spp, v5e: one-hot+P8
+            # 12.52 s vs plain-gather+P8 5.82 s, bit-equal — PERFORMANCE.md
+            # round 5; the one-hot MAC budget scales with band lanes x NB
+            # while the XLA gather is ~flat in row width). Strip the
+            # byte-plane copies for the stacked trace only — the structure
+            # change retraces by itself; unstacked paths (preview/1 spp,
+            # where the 25% win was measured) keep them. Output-exact: the
+            # one-hot path is bit-equal by construction.
+            accel_stacked = accel.replace(rows_mxu=None, nrm_mxu=None)
+        else:
+            accel_stacked = accel
         p = p_eff
+        n_passes = int(times.shape[0])
+        n_head = (n_passes // p) * p
         # stacked bands target STACK_TILE_ROWS rows (P trailing lanes each)
-        tiles = 1
-        while (tiles < MAX_TILES and n % (tiles * 2) == 0
-               and n // (tiles * 2) >= STACK_TILE_ROWS):
-            tiles *= 2
+        stiles = 1
+        while (stiles < MAX_TILES and n % (stiles * 2) == 0
+               and n // (stiles * 2) >= STACK_TILE_ROWS):
+            stiles *= 2
         ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
         zero = jnp.zeros((n,), jnp.int32)
         cost0 = _carry_vma({"a": zero, "b": zero}, accum)
@@ -507,7 +528,7 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
             ts, tabs = xs  # (p,), (p, L, 4)
             acc, new_cost = _render_pass_deferred_stacked(
                 vol, opts, transpose_table_stacked(tabs), ts, acc, ids_m,
-                accel, tiles, prev_cost=cost,
+                accel_stacked, stiles, prev_cost=cost,
             )
             # decaying max over group history (as the unstacked path, one
             # update per group)
@@ -517,10 +538,34 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
             )
             return (acc, cost), None
 
-        (accum, _), _ = jax.lax.scan(
+        (accum, cost), _ = jax.lax.scan(
             step, (accum, cost0),
-            (times.reshape(-1, p),
-             mc_tables.reshape((-1, p) + mc_tables.shape[1:])),
+            (times[:n_head].reshape(-1, p),
+             mc_tables[:n_head].reshape((-1, p) + mc_tables.shape[1:])),
+        )
+        if n_head == n_passes:
+            return accum
+
+        # tail: the remainder passes run UNSTACKED but continue the head's
+        # cost history (per-pixel {"a","b"} maps have identical structure);
+        # the tail keeps the original accel — the MXU one-hot is a wash
+        # unstacked at spec and a win at 1 spp (PERFORMANCE.md round 5)
+        def tail_step(carry, xs):
+            acc, cost = carry
+            t, table = xs
+            acc, new_cost = render_pass(
+                vol, opts.replace(time=t), table, acc, ids, accel,
+                prev_cost=cost,
+            )
+            cost = jax.tree_util.tree_map(
+                lambda new, old: jnp.maximum(new, old - (old >> 2)),
+                new_cost, cost,
+            )
+            return (acc, cost), None
+
+        (accum, _), _ = jax.lax.scan(
+            tail_step, (accum, cost),
+            (times[n_head:], mc_tables[n_head:]),
         )
         return accum
     if tiles > 1 and DEFERRED_SHADE:

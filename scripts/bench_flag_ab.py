@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--volume", default="gyroid",
                     help="gyroid | scatter (config 4's mesh-scatter volume)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra module.FLAG=literal assignments applied "
+                         "BEFORE the accel build (repeatable), e.g. "
+                         "--set accel.ONEHOT_MAX_ROWS=0")
     args = ap.parse_args()
 
     from raymarchcl_tpu.api import build_accel_for, default_volume
@@ -46,10 +50,18 @@ def main():
     from raymarchcl_tpu.ops.sampling import make_mc_tables
     from raymarchcl_tpu.options import render_options
 
+    mods = {"march": march_ns, "render": render_mod, "accel": accel_ns,
+            "shade": shade_ns}
     modname, flag = args.flag.split(".")
-    mod = {"march": march_ns, "render": render_mod, "accel": accel_ns,
-           "shade": shade_ns}[modname]
+    mod = mods[modname]
     saved = getattr(mod, flag)
+    presets = []
+    for assign in args.set:
+        target, raw = assign.split("=", 1)
+        m, f = target.split(".")
+        presets.append((mods[m], f, getattr(mods[m], f)))
+        setattr(mods[m], f, ast.literal_eval(raw))
+        print(f"preset {target}={raw}", flush=True)
 
     if args.volume in ("scatter", "mesh64"):
         import os
@@ -108,6 +120,8 @@ def main():
             )
     finally:
         setattr(mod, flag, saved)
+        for m, f, v in presets:
+            setattr(m, f, v)
         render_mod._render_jit.clear_cache()
 
 

@@ -53,6 +53,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp-scale", type=int, default=1,
                     help="divide each config's spp by this (>=1)")
+    ap.add_argument("--host-chunk", type=int, default=16,
+                    help="passes per device program (bench.py uses 16 = one "
+                         "program at the headline). Small chunks hobble the "
+                         "stacked engine (p_eff <= chunk) and reset the "
+                         "cost-sort history at every chunk boundary.")
     args = ap.parse_args()
     s = max(1, args.spp_scale)
 
@@ -100,7 +105,8 @@ def main():
         spp = cfg.pop("spp")
         hs = cfg.pop("host_slices", 1)
         try:
-            dt = render_timed(volume, vres, spp, host_slices=hs, **cfg)
+            dt = render_timed(volume, vres, spp, host_chunk=args.host_chunk,
+                              host_slices=hs, **cfg)
             rows.append((name, cfg["width"], cfg["height"], spp, dt))
             print(json.dumps({"config": name, "spp": spp, "seconds": round(dt, 3)}),
                   file=sys.stderr, flush=True)

@@ -669,6 +669,44 @@ def test_pass_stacked_accum_matches_sequential(scene):
         render_mod.PASS_STACK = saved
 
 
+def test_pass_stacked_head_tail_matches_sequential(scene):
+    """Head+tail stacking: a pass count with no divisor near PASS_STACK
+    runs full stacked groups plus an UNSTACKED tail that continues the
+    head's cost history (render_accum; e.g. BASELINE config 2's 25 spp =
+    3x8 + 1). 5 passes at PASS_STACK=4 -> one stacked group of 4 + 1 tail
+    pass; value-identical to the sequential per-pass scan."""
+    vol, _, _, acc = scene
+    opts = render_options(
+        width=256, height=48, vres=[32, 32, 96], iter=5, mat="ao",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    n = opts.num_pixels
+    tables = make_mc_tables(5, seed=9)
+    times = jnp.arange(5, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((n, 3), jnp.float32)
+    saved = render_mod.PASS_STACK
+    try:
+        render_mod.PASS_STACK = 1
+        want = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc)
+        )
+        render_mod.PASS_STACK = 4  # 5 = 4 (stacked) + 1 (tail)
+        got = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc)
+        )
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+        bad = (rel.max(axis=1) > 1e-3).mean()
+        assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift tolerance"
+        np.testing.assert_allclose(
+            np.median(got, 0), np.median(want, 0), rtol=1e-5
+        )
+    finally:
+        render_mod.PASS_STACK = saved
+
+
 @pytest.mark.parametrize("edge", [4, 16])
 def test_brick_edge_bit_equal(scene, edge):
     """accel.set_brick: the march contracts hold at any brick edge B
