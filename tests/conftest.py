@@ -18,6 +18,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (VERDICT r4 item 7, suite-speed half):
+# after the oracle cache removed the scalar-oracle recompute, the remaining
+# suite cost is CPU jit compiles of the engines, which are identical run to
+# run unless engine code changed. Keyed by HLO, so stale hits are impossible.
+# Delete tests/.jax_compilation_cache to force cold compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_compilation_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 # --- distributed-test disposition logging (VERDICT r4 item 10) -----------
 # test_distributed.py has broad, legitimate skip conditions (no sockets,

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import scalar_ref as S
+from oracle_cache import CachedScene
 from raymarchcl_tpu.models import generators
 from raymarchcl_tpu.ops import render as render_mod
 from raymarchcl_tpu.ops import sampling
@@ -43,7 +44,7 @@ def _run_parity(vol, table, mat, w, h, t, budgets, max_bad_frac=0.005,
     got = np.asarray(
         scene_color(jnp.asarray(vol), opts, table_t, state, ray_pos, ray_dir).to_array()
     )
-    sc = S.Scene(S.opts_to_dict(opts), vol, table)
+    sc = CachedScene(S.Scene, S.opts_to_dict(opts), vol, table)
     bad = 0
     for pid in range(n):
         want = sc.render_pixel(pid) / np.float32(opts.exposure)
@@ -219,7 +220,7 @@ def test_parity_production_pipeline(vol32, table):
     # sampled oracle: accum = 0.25*rp0 + 0.5*rp1 (frameBlend = 1/2;
     # render_pixel returns the exposure-scaled pass color)
     scenes = [
-        S.Scene(S.opts_to_dict(mk_opts(t)), vol32, tab)
+        CachedScene(S.Scene, S.opts_to_dict(mk_opts(t)), vol32, tab)
         for t, tab in zip(times, tabs)
     ]
     rng = np.random.default_rng(5)
