@@ -180,6 +180,22 @@ PASS_STACK = 8  # passes per stacked group (1 = off)
 # lanes/band, consistent with the unstacked 4096-8192-lane optimum).
 STACK_TILE_ROWS = 1024
 
+# Cost-map PREPASS for the stacked engine's group-0 cold start: before the
+# group scan, render ONE instrumented pass over every STRIDE-th pixel in
+# both axes (1/STRIDE^2 of the lanes, pass-0 table) and seed the scan's
+# initial cost maps with its app maps, max-FILTered at the coarse grid
+# (k=PREPASS_FILT) and nearest-upsampled. The round-5 group split showed
+# group 0 (Morton-only sort) paying 140.1M vs group 1's 88.2M at spec;
+# offline replay (scripts/study_group0_key.py) prices this seed at paid
+# march 174.7M -> ~103M and paid shade 228.4M -> ~218M (stride 4, filt 3)
+# for a ~2M-app prepass. The coarse max filter is load-bearing: RAW point
+# samples measured WORSE than no history (a band whose key missed its
+# worst pixel blows the band max); max-filtering trades resolution for
+# conservatism. Prepass color is discarded — scheduling-only, bit-equal.
+# Trace-time constants; hash into the jit key via engine_key().
+PREPASS_STRIDE = 4  # 0/1 = off
+PREPASS_FILT = 3
+
 
 # Morton key (moved to vecmath so shade.py's per-loop compaction keys can
 # share it; kept under the old name for the audit/bench scripts).
@@ -456,6 +472,44 @@ def _render_pass_deferred_stacked(vol, opts, table_t, times, accum, ids,
     return accum, new_cost
 
 
+def _prepass_cost(vol, opts, table_t, ids_m, accel, n, w, loops=None):
+    """Strided instrumented prepass -> upsampled {'a','b'} cost maps (see
+    PREPASS_STRIDE). With `loops` (static name list, reflective presets)
+    the returned dict additionally carries upsampled per-LOOP maps under
+    'loops' (shade.compact_loop_names). Returns None when the lane block
+    is not a whole number of STRIDE-aligned pixel rows (odd shard
+    paddings) — callers fall back to the zero seed."""
+    f = PREPASS_STRIDE
+    if f <= 1 or w <= 0 or n % w != 0 or w % f != 0:
+        return None
+    rows = n // w
+    if rows % f != 0 or (rows // f) * (w // f) < 1024:
+        return None
+    ids_pre = ids_m.reshape(rows, w)[::f, ::f].reshape(-1)
+    n_pre = ids_pre.shape[0]
+    tiles_pre = 1
+    while n_pre % (tiles_pre * 2) == 0 and n_pre // (tiles_pre * 2) >= 4096:
+        tiles_pre *= 2
+    zero = jnp.zeros((n_pre,), jnp.int32)
+    prev = {"a": zero, "b": zero}
+    if loops is not None:
+        prev["loops"] = {nm: zero for nm in loops}
+    _, cost = _render_pass_deferred(
+        vol, opts, table_t, jnp.zeros((n_pre, 3), jnp.float32), ids_pre,
+        accel, tiles_pre, prev_cost=prev,
+    )
+
+    def up(c):
+        c = _maxfilt2d(c, w // f, PREPASS_FILT)
+        c = c.reshape(rows // f, w // f)
+        return jnp.repeat(jnp.repeat(c, f, axis=0), f, axis=1).reshape(-1)
+
+    out = {"a": up(cost["a"]), "b": up(cost["b"])}
+    if loops is not None:
+        out["loops"] = {nm: up(v) for nm, v in cost["loops"].items()}
+    return out
+
+
 def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     """All spp passes via lax.scan (reference loop: core.clj:83-90).
 
@@ -496,7 +550,7 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         # stacked trailing-lane engine (see PASS_STACK): bounce-free presets
         # on the accel path; reflective presets keep COMPACT_SECONDARY
         from .march import _carry_vma
-        from .sampling import transpose_table_stacked
+        from .sampling import transpose_table, transpose_table_stacked
 
         if accel.rows_mxu is not None or accel.nrm_mxu is not None:
             # MXU one-hot row fetches are a measured 2.2x LOSS under
@@ -521,7 +575,13 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
             stiles *= 2
         ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
         zero = jnp.zeros((n,), jnp.int32)
-        cost0 = _carry_vma({"a": zero, "b": zero}, accum)
+        cost_init = {"a": zero, "b": zero}
+        pre = _prepass_cost(vol, opts.replace(time=times[0]),
+                            transpose_table(mc_tables[0]), ids_m,
+                            accel_stacked, n, opts.resolution[0])
+        if pre is not None:
+            cost_init = pre
+        cost0 = _carry_vma(cost_init, accum)
 
         def step(carry, xs):
             acc, cost = carry
@@ -573,14 +633,31 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
 
         zero = jnp.zeros((n,), jnp.int32)
         cost_dict = {"a": zero, "b": zero}
+        loop_names = None
         if LOOP_KEYS and COMPACT_SECONDARY and opts.reflectIter > 0:
             # reflective presets also carry PER-LOOP cost maps so each
             # compacted secondary loop band-sorts by its own history
             # (shade.compact_loop_names / _render_pass_deferred)
             from .shade import compact_loop_names
 
-            cost_dict["loops"] = {
-                nm: zero for nm in compact_loop_names(opts)}
+            loop_names = compact_loop_names(opts)
+            cost_dict["loops"] = {nm: zero for nm in loop_names}
+        # pass-0 cold-start prepass (see PREPASS_STRIDE) — bounce-free
+        # presets only: at config 4 (metal+scatter, 512^2/16spp) the
+        # reflective prepass measured a WASH on v5e (17.93 s off vs
+        # 18.01 s on, bit-equal; per-loop seeds from a strided probe don't
+        # transfer to bounce loops while the probe still costs a pass
+        # fraction — PERFORMANCE.md round 5), so reflective presets keep
+        # the zero seed.
+        if opts.reflectIter == 0 and accel is not None:
+            from .sampling import transpose_table
+
+            ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
+            pre = _prepass_cost(vol, opts.replace(time=times[0]),
+                                transpose_table(mc_tables[0]), ids_m, accel,
+                                n, opts.resolution[0], loops=loop_names)
+            if pre is not None:
+                cost_dict = pre
         # scan carries need matching varying-manual-axes under shard_map
         # (see march._carry_vma)
         cost0 = _carry_vma(cost_dict, accum)
@@ -690,7 +767,7 @@ def engine_key():
 
     return (
         DEFERRED_SHADE, TILE_RAYS, MAX_TILES, COMPACT_SECONDARY, LOOP_KEYS,
-        PASS_STACK, STACK_TILE_ROWS,
+        PASS_STACK, STACK_TILE_ROWS, PREPASS_STRIDE, PREPASS_FILT,
         march.MARCH_CHUNK, march.GROUND_STEPS, march.DIST_UNROLL,
         march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,
         march.WIDE_GROUND, march.SUBSTEPS_REFLECTIVE,

@@ -760,3 +760,63 @@ def test_brick_edge_bit_equal(scene, edge):
     )
 
 
+
+
+def test_prepass_cost_seed_matches_and_gates(scene):
+    """render.PREPASS_STRIDE: the strided instrumented prepass that seeds
+    the first pass's band sorts (group-0 cold start; PERFORMANCE.md round 5,
+    scripts/study_group0_key.py). The prepass color is discarded and the
+    seed only reorders bands, so outputs match the prepass-off render
+    (bit-equal on TPU — asserted by scripts/tpu_invariants.py / bench.py's
+    gate; tolerance here, like every banding invariant on CPU). Shapes
+    whose lane block isn't a whole number of STRIDE-aligned rows, or whose
+    coarse grid is under 1024 cells, must fall back to the zero seed."""
+    vol, _, _, acc = scene
+    # 256 x 64 at stride 4 -> coarse 16 x 64 = 1024 cells: gate passes
+    opts = render_options(
+        width=256, height=64, vres=[32, 32, 96], iter=4, mat="ao",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    n = opts.num_pixels
+    assert render_mod.auto_tiles(n) > 1
+    tables = make_mc_tables(4, seed=11)
+    times = jnp.arange(4, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((n, 3), jnp.float32)
+    saved = (render_mod.PASS_STACK, render_mod.PREPASS_STRIDE)
+    try:
+        render_mod.PASS_STACK = 4
+        render_mod.PREPASS_STRIDE = 0
+        want = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        render_mod.PREPASS_STRIDE = 4
+        # the gate must actually engage at this shape
+        from raymarchcl_tpu.ops.sampling import transpose_table
+        pre = render_mod._prepass_cost(
+            vol, opts.replace(time=times[0]), transpose_table(tables[0]),
+            jnp.arange(n, dtype=jnp.int32), acc, n, 256)
+        assert pre is not None and set(pre) == {"a", "b"}
+        assert pre["a"].shape == (n,)
+        # stride-4 upsample: constant over each 4x4 cell
+        grid = np.asarray(pre["b"]).reshape(64, 256)
+        np.testing.assert_array_equal(grid[::1, :], np.repeat(
+            np.repeat(grid[::4, ::4], 4, axis=0), 4, axis=1))
+        got = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+        bad = (rel.max(axis=1) > 1e-3).mean()
+        assert bad < 0.01, f"{bad:.2%} of pixels differ beyond tolerance"
+        np.testing.assert_allclose(
+            np.median(got, 0), np.median(want, 0), rtol=1e-5)
+        # gate refusals: misaligned row block / tiny coarse grid
+        assert render_mod._prepass_cost(
+            vol, opts.replace(time=times[0]), transpose_table(tables[0]),
+            jnp.arange(n - 256, dtype=jnp.int32), acc, n - 256, 256
+        ) is None or (n - 256) // 256 % 4 == 0  # 63 rows: not stride-aligned
+        assert render_mod._prepass_cost(
+            vol, opts.replace(time=times[0]), transpose_table(tables[0]),
+            jnp.arange(4096, dtype=jnp.int32), acc, 4096, 256) is None
+    finally:
+        render_mod.PASS_STACK, render_mod.PREPASS_STRIDE = saved
