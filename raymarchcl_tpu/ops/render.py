@@ -180,6 +180,22 @@ PASS_STACK = 8  # passes per stacked group (1 = off)
 # lanes/band, consistent with the unstacked 4096-8192-lane optimum).
 STACK_TILE_ROWS = 1024
 
+# Pass-stacking for REFLECTIVE presets with per-LANE pooled compaction:
+# the group's (N, P) lanes flatten to (N*P,) for the compacted secondary
+# loops, so each lane packs by its OWN active flag (the round-4
+# row-granularity attempt paid the union of the P active sets and
+# regressed 33%). Offline replay at config-4 spec
+# (scripts/study_lane_stack_cfg4.py): paid secondary apps 890.6M
+# (production unstacked) -> 682.0M pooled (row-stacked reference: 910.2M).
+# Requires COMPACT_SECONDARY. Trace-time constant; hashes via engine_key.
+STACK_REFLECTIVE = True
+
+# Prepass seeding for STACKED reflective groups (a/b maps + per-loop
+# histories). Separately flagged from PREPASS_STRIDE because the
+# unstacked reflective prepass measured a wash — under stacking group 0
+# is a much larger work share. Trace-time constant; hashes via engine_key.
+PREPASS_REFLECTIVE = True
+
 # Cost-map PREPASS for the stacked engine's group-0 cold start: before the
 # group scan, render ONE instrumented pass over every STRIDE-th pixel in
 # both axes (1/STRIDE^2 of the lanes, pass-0 table) and seed the scan's
@@ -437,23 +453,76 @@ def _render_pass_deferred_stacked(vol, opts, table_t, times, accum, ids,
     )
     idist, iobj = pick(idist), pick(iobj)
 
-    # --- phase B: per-band shading over (nt, P) lanes ---------------------
-    def shade_band(_, xs):
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
-        isec = {"pos": ipos, "distance": idist, "object_id": iobj,
-                "normal": inorm}
-        return None, shade_after_march(
-            vol, opts_s, table_t, px, py, mcn, rpos, rdir, isec, accel,
-            want_stats=True,
-        )
+    # --- phase B ----------------------------------------------------------
+    loop_apps = None
+    if COMPACT_SECONDARY and opts.reflectIter > 0:
+        # Reflective presets: POOL the group's (n, P) lanes to (n*P,) and
+        # run the per-lane compacted secondary loops over them — each lane
+        # packs by its OWN active flag, so the round-4 row-granularity
+        # union dilution (a row stayed in a loop while ANY of its P lanes
+        # was active; P=8 measured 31.6 s vs P=1 23.75 at config 4) is
+        # gone, and actives from P passes pool into fuller bands. Offline
+        # replay at spec (scripts/study_lane_stack_cfg4.py, 512^2 metal
+        # 16 spp): paid secondary apps 890.6M unstacked / 910.2M
+        # row-stacked / 682.0M per-lane pooled. Lane pass identity rides
+        # as per-lane opts.time rows + explicit table-block offsets
+        # (sampling._table_idx block=): per-lane values are bit-identical
+        # to the sequential per-pass renders.
+        from ..options import MC_TABLE_LENGTH
+        from .shade import shade_after_march_compact
 
-    xs = jax.tree_util.tree_map(
-        lambda a: a.reshape((tiles, nt) + a.shape[1:]),
-        (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
-    )
-    _, (col, apps_b) = jax.lax.scan(shade_band, None, xs)
-    col = jax.tree_util.tree_map(lambda a: a.reshape(n, p), col)
-    apps_b = apps_b.reshape(n, p)
+        nl = n * p
+        flat = lambda a: a.reshape((nl,) + a.shape[2:])
+        flat3 = lambda v: V3(flat(v.x), flat(v.y), flat(v.z))
+        time_l = jnp.broadcast_to(times[None, :], (n, p)).reshape(-1)
+        tb = jnp.broadcast_to(
+            (jnp.arange(p, dtype=jnp.int32) * MC_TABLE_LENGTH)[None, :],
+            (n, p)).reshape(-1)
+        isec_d = {"pos": flat3(ipos), "distance": flat(idist),
+                  "object_id": flat(iobj), "normal": flat3(inorm)}
+        pl = None
+        prev_loops = prev_cost.get("loops")
+        if prev_loops is not None:
+            # per-PIXEL loop history -> caller lane order -> broadcast to
+            # the pixel's P pooled lanes
+            pl = {nm: jnp.broadcast_to(
+                jnp.take(jnp.take(_maxfilt2d(v, w, 5), order_a), perm)[:, None],
+                (n, p)).reshape(-1)
+                for nm, v in prev_loops.items()}
+        tiles_ao = 1
+        while (nl % (tiles_ao * 2) == 0
+               and nl // (tiles_ao * 2) >= TILE_RAYS):
+            tiles_ao *= 2
+        ret = shade_after_march_compact(
+            vol, opts.replace(time=time_l), table_t, tiles_ao, flat(px),
+            flat(py), flat3(mcn), flat3(rpos), flat3(rdir), isec_d, accel,
+            want_stats=True, prev_loops=pl, tblock=tb,
+        )
+        if pl is not None:
+            col_f, apps_f, loop_apps = ret
+        else:
+            col_f, apps_f = ret
+        col = V3(col_f.x.reshape(n, p), col_f.y.reshape(n, p),
+                 col_f.z.reshape(n, p))
+        apps_b = apps_f.reshape(n, p)
+    else:
+        # bounce-free: per-band shading over (nt, P) lanes
+        def shade_band(_, xs):
+            (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm) = xs
+            isec = {"pos": ipos, "distance": idist, "object_id": iobj,
+                    "normal": inorm}
+            return None, shade_after_march(
+                vol, opts_s, table_t, px, py, mcn, rpos, rdir, isec, accel,
+                want_stats=True,
+            )
+
+        xs = jax.tree_util.tree_map(
+            lambda a: a.reshape((tiles, nt) + a.shape[1:]),
+            (px, py, mcn, rpos, rdir, ipos, idist, iobj, inorm),
+        )
+        _, (col, apps_b) = jax.lax.scan(shade_band, None, xs)
+        col = jax.tree_util.tree_map(lambda a: a.reshape(n, p), col)
+        apps_b = apps_b.reshape(n, p)
 
     # --- unsort + sequential blend in pass order --------------------------
     col_a = (col * opts.exposure).to_array()  # (n, p, 3)
@@ -467,6 +536,14 @@ def _render_pass_deferred_stacked(vol, opts, table_t, times, accum, ids,
         "b": jnp.zeros((n,), jnp.int32).at[perm_total].set(
             jnp.max(apps_b, axis=1)),
     }
+    if loop_apps is not None:
+        new_cost["loops"] = {
+            nm: jnp.zeros((n,), jnp.int32).at[perm_total].set(
+                jnp.max(v.reshape(n, p), axis=1))
+            for nm, v in loop_apps.items()
+        }
+    elif prev_cost.get("loops") is not None:
+        new_cost["loops"] = prev_cost["loops"]  # carry structure
     for i in range(p):
         accum = accum + (col_u[:, i, :] - accum) * opts.frameBlend
     return accum, new_cost
@@ -532,14 +609,15 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     # (P=4 cost ~1.17x of P=8 per pass), so e.g. 25 spp runs 3x8 stacked +
     # 1 tail pass rather than 5 groups of P=5, and 100 spp runs 12x8 + 4.
     p_eff = 1
-    if PASS_STACK > 1 and accel is not None and opts.reflectIter == 0:
-        # Reflective presets stay UNSTACKED: the round-4 hardware A/B at
-        # config 4 (metal, 4 spp) measured P=1 23.75 s / P=4 48.3 s /
-        # P=8 31.6 s (bit-equal) — a pixel ROW stays in the compacted
-        # secondary loops while ANY of its P lanes is active, so stacking
-        # multiplies paid secondary applications faster than it amortizes
-        # per-group fixed costs. Negative result recorded in PERFORMANCE.md
-        # (round 4, session 3); git history has the (N, P) compact engine.
+    if PASS_STACK > 1 and accel is not None and (
+            opts.reflectIter == 0
+            or (STACK_REFLECTIVE and COMPACT_SECONDARY)):
+        # Reflective presets stack at LANE granularity: the round-4
+        # row-granularity attempt measured P=8 31.6 s vs P=1 23.75 at
+        # config 4 (a pixel ROW stayed in the compacted secondary loops
+        # while ANY of its P lanes was active); pooling the group's lanes
+        # per-lane removes the union dilution — see the reflective branch
+        # of _render_pass_deferred_stacked and STACK_REFLECTIVE.
         n_passes = int(times.shape[0])
         p_eff = min(PASS_STACK, n_passes)
         for cand in range(p_eff, max(1, PASS_STACK - 2) - 1, -1):
@@ -576,11 +654,33 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         ids_m = (jnp.arange(n, dtype=jnp.int32) if ids is None else ids)
         zero = jnp.zeros((n,), jnp.int32)
         cost_init = {"a": zero, "b": zero}
-        pre = _prepass_cost(vol, opts.replace(time=times[0]),
-                            transpose_table(mc_tables[0]), ids_m,
-                            accel_stacked, n, opts.resolution[0])
-        if pre is not None:
-            cost_init = pre
+        if opts.reflectIter > 0 and LOOP_KEYS:
+            # stacked reflective groups carry per-loop history like the
+            # unstacked path (shade.compact_loop_names)
+            from .shade import compact_loop_names
+
+            cost_init["loops"] = {
+                nm: zero for nm in compact_loop_names(opts)}
+        if opts.reflectIter == 0:
+            pre = _prepass_cost(vol, opts.replace(time=times[0]),
+                                transpose_table(mc_tables[0]), ids_m,
+                                accel_stacked, n, opts.resolution[0])
+            if pre is not None:
+                cost_init = pre
+        elif PREPASS_REFLECTIVE:
+            # On the UNSTACKED engine the reflective prepass measured a
+            # wash (pass 0 is 1/16 of the work); under stacking group 0
+            # is 1/n_groups of the frame, so the cold start is worth a
+            # seed again (PERFORMANCE.md round 5 A/B).
+            loop_names = list(cost_init.get("loops", {}))
+            pre = _prepass_cost(vol, opts.replace(time=times[0]),
+                                transpose_table(mc_tables[0]), ids_m,
+                                accel_stacked, n, opts.resolution[0],
+                                loops=loop_names or None)
+            if pre is not None:
+                cost_init["a"], cost_init["b"] = pre["a"], pre["b"]
+                if loop_names:
+                    cost_init["loops"] = pre["loops"]
         cost0 = _carry_vma(cost_init, accum)
 
         def step(carry, xs):
@@ -767,7 +867,8 @@ def engine_key():
 
     return (
         DEFERRED_SHADE, TILE_RAYS, MAX_TILES, COMPACT_SECONDARY, LOOP_KEYS,
-        PASS_STACK, STACK_TILE_ROWS, PREPASS_STRIDE, PREPASS_FILT,
+        PASS_STACK, STACK_TILE_ROWS, STACK_REFLECTIVE, PREPASS_REFLECTIVE,
+        PREPASS_STRIDE, PREPASS_FILT,
         march.MARCH_CHUNK, march.GROUND_STEPS, march.DIST_UNROLL,
         march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,
         march.WIDE_GROUND, march.SUBSTEPS_REFLECTIVE,

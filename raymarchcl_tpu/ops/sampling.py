@@ -62,11 +62,18 @@ def transpose_table_stacked(tables):
     return jnp.transpose(jnp.asarray(tables), (2, 0, 1)).reshape(4, -1)
 
 
-def _table_idx(table_t, seed_u32):
+def _table_idx(table_t, seed_u32, block=None):
     """Masked table index (renderer.cl:142-144), plus the per-pass block
     offset when lanes are stacked (N, P) against a (4, P*T) stacked table:
-    trailing lane p gathers from pass p's block."""
+    trailing lane p gathers from pass p's block.
+
+    block: optional explicit lane-shaped int32 block offsets (p*T per
+    lane) for POOLED lanes whose pass identity is not recoverable from
+    the lane shape (per-lane compacted stacked secondaries,
+    ops/render.py) — overrides the trailing-axis inference."""
     idx = (seed_u32 & _U32(0x3FFF)).astype(_I32)
+    if block is not None:
+        return idx + block
     if seed_u32.ndim == 2 and table_t.shape[1] > MC_TABLE_LENGTH:
         p = seed_u32.shape[1]
         assert table_t.shape[1] == p * MC_TABLE_LENGTH, (
@@ -84,19 +91,19 @@ def _take_row(row, idx):
     return jnp.take(row, idx.reshape(-1)).reshape(idx.shape)
 
 
-def rand_float4(table_t, seed_u32):
+def rand_float4(table_t, seed_u32, block=None):
     """table[seed & 0x3fff] (reference: renderer.cl:142-144).
 
     table_t: (4, T) transposed table (or (4, P*T) stacked — see
     transpose_table_stacked); seed_u32: uint32, lane-shaped ((N,) or (N, P)).
-    Returns (x, y, z, w) component arrays.
+    block: see _table_idx. Returns (x, y, z, w) component arrays.
     """
-    idx = _table_idx(table_t, seed_u32)
+    idx = _table_idx(table_t, seed_u32, block)
     return tuple(_take_row(table_t[c], idx) for c in range(4))
 
 
-def rand_xyz(table_t, seed_u32) -> V3:
-    idx = _table_idx(table_t, seed_u32)
+def rand_xyz(table_t, seed_u32, block=None) -> V3:
+    idx = _table_idx(table_t, seed_u32, block)
     return V3(
         _take_row(table_t[0], idx),
         _take_row(table_t[1], idx),

@@ -50,10 +50,12 @@ def sky_gradient(opts, rdir: V3) -> V3:
     )
 
 
-def light_pos_jittered(opts, table_t, px, py, i) -> V3:
-    """Scattered light position (reference: renderer.cl:263-269)."""
+def light_pos_jittered(opts, table_t, px, py, i, block=None) -> V3:
+    """Scattered light position (reference: renderer.cl:263-269).
+    block: explicit per-lane table-block offsets for POOLED stacked lanes
+    (sampling._table_idx)."""
     seed = sampling.light_seed(opts, px, py)
-    j = sampling.rand_xyz(table_t, seed)
+    j = sampling.rand_xyz(table_t, seed, block)
     lp = opts.lightPos
     return V3(
         lp[i, 0] + j.x * opts.lightScatter,
@@ -62,13 +64,14 @@ def light_pos_jittered(opts, table_t, px, py, i) -> V3:
     )
 
 
-def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3, isec_dist, col: V3) -> V3:
+def apply_atmosphere(opts, table_t, px, py, ray_pos: V3, ray_dir: V3,
+                     isec_dist, col: V3, block=None) -> V3:
     """Exponential-squared fog toward the sky + per-light lens flares
     (reference: renderer.cl:275-290)."""
     fa = 1.0 - jnp.exp(isec_dist * isec_dist * -opts.fogPow)
     col = col + (sky_gradient(opts, ray_dir) - col) * fa
     for i in range(opts.numLights):
-        lp = light_pos_jittered(opts, table_t, px, py, i)
+        lp = light_pos_jittered(opts, table_t, px, py, i, block)
         d = jnp.clip(dot(lp - ray_pos, ray_dir), 0.0, isec_dist)
         closest = (ray_pos - lp) + ray_dir * d
         amp = opts.flareAmp / dot(closest, closest)
@@ -135,7 +138,8 @@ def _ao_trunc_steps(opts, steps, i):
     return min(steps, k)
 
 
-def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=None):
+def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active,
+                      accel=None, block=None):
     """Monte-Carlo AO: scene marches along scatter-jittered normals with a
     halved voxel budget (reference: renderer.cl:327-346). Statically
     unrolled aoIter+1 rounds with the reference's `ao > 0.01` early-out.
@@ -150,7 +154,7 @@ def ambient_occlusion(vol, opts, table_t, pos: V3, normal: V3, active, accel=Non
         act = active & (ao > 0.01)
         d = opts.aoStepDist * _F32(i + 1)
         seed = seed0 + jnp.uint32(37 * (i + 1))
-        sn = normalize(sampling.rand_xyz(table_t, seed) * 0.2 + normal)
+        sn = normalize(sampling.rand_xyz(table_t, seed, block) * 0.2 + normal)
         sd = distance_to_scene(
             vol, opts, pos + sn * d, sn, steps, act, accel=accel,
             max_k=_ao_trunc_steps(opts, steps, i), want_material=False,
@@ -174,7 +178,7 @@ def _mat_gather(opts, mat_idx):
 
 
 def light_geometry(opts, table_t, px, py, isec_pos: V3, ray_dir: V3,
-                   normal: V3, active):
+                   normal: V3, active, block=None):
     """Per-light shadow-ray geometry (reference: renderer.cl:263-269,
     359-366) — pure elementwise math, shared by the monolithic lighting
     path and the respill scheduler (ops/render.py), which recomputes it
@@ -182,7 +186,7 @@ def light_geometry(opts, table_t, px, py, isec_pos: V3, ray_dir: V3,
     (identical expressions => identical values)."""
     lt = []
     for i in range(opts.numLights):
-        delta = light_pos_jittered(opts, table_t, px, py, i) - isec_pos
+        delta = light_pos_jittered(opts, table_t, px, py, i, block) - isec_pos
         d2 = dot(delta, delta)
         att = 1.0 / d2
         in_range = att > opts.minLightAtt
@@ -515,6 +519,7 @@ def compact_loop_names(opts):
 def shade_after_march_compact(
     vol, opts, table_t, tiles, px, py, mc_normal: V3, ray_pos: V3,
     ray_dir: V3, isec, accel=None, want_stats=False, prev_loops=None,
+    tblock=None,
 ):
     """shade_after_march with every secondary while_loop (bounce marches,
     shadow marches, AO probes) run over active-compacted cost bands.
@@ -533,7 +538,14 @@ def shade_after_march_compact(
     (_compact_banded(key=...)), and the return value grows a per-loop apps
     dict: (col, apps, loop_apps). Measured offline (audit_config4
     --study-keys): paid secondary apps 38.6M -> 30.4M at 4096-row bands,
-    -> 20.0M at 1024-row bands. Ordering is grouping-only: bit-equal."""
+    -> 20.0M at 1024-row bands. Ordering is grouping-only: bit-equal.
+
+    tblock: optional (N,) int32 per-lane table-block offsets when the
+    caller's lanes are POOLED stacked passes flattened to 1-D (per-lane
+    compacted stacked secondaries, render.py): every table consumer
+    (light jitter, AO scatter, flares) gathers from the lane's own pass
+    block of the (4, P*T) stacked table, and opts.time must already be
+    the matching per-lane row. None = single-pass lanes (unchanged)."""
     n = ray_dir.x.shape[0]
     apps = [jnp.zeros((n,), jnp.int32)]
     loop_apps = {}
@@ -581,15 +593,30 @@ def shade_after_march_compact(
 
     def ao_fn(xs):
         return {"ao": ambient_occlusion(
-            vol, opts, table_t, xs["pos"], xs["normal"], xs["act"], accel)}
+            vol, opts_of(xs), table_t, xs["pos"], xs["normal"], xs["act"],
+            accel, block=xs.get("tb"))}
+
+    def opts_of(xs):
+        # per-lane opts.time must ride the banding with the lanes (AO
+        # seeds hash it); identity for single-pass lanes (scalar time)
+        return opts if "time" not in xs else opts.replace(time=xs["time"])
+
+    def ao_ins(pos, normal, act):
+        ins = {"pos": pos, "normal": normal, "act": act}
+        if tblock is not None:
+            ins["tb"] = tblock
+            if getattr(opts.time, "ndim", 0) >= 1:
+                ins["time"] = opts.time
+        return ins
 
     def lighting(pos, view_dir, midx, normal, refl_col, act, sname=None):
         # object_lighting (renderer.cl:348-381), loops compact-banded;
         # sname: light index -> loop name for the per-loop history keys
         albedo_l, r0_l, sm_l = _mat_gather(opts, midx)
-        lt = light_geometry(opts, table_t, px, py, pos, view_dir, normal, act)
+        lt = light_geometry(opts, table_t, px, py, pos, view_dir, normal,
+                            act, block=tblock)
         ao = _compact_banded(
-            tiles, act, ao_fn, {"pos": pos, "normal": normal, "act": act}
+            tiles, act, ao_fn, ao_ins(pos, normal, act)
         )["ao"]
         sfs = []
         for li, l in enumerate(lt):
@@ -639,7 +666,7 @@ def shade_after_march_compact(
             col_i = where3(b_hit, lit_b, b_sky)
             col_i = apply_atmosphere(
                 opts, table_t, px, py, bounce_origin, r_dir,
-                bisec["distance"], col_i,
+                bisec["distance"], col_i, block=tblock,
             )
             acc = where3(b_active, acc + col_i, acc)
             b_r0 = jnp.take(opts.mat_r0, b_mat)
@@ -655,7 +682,8 @@ def shade_after_march_compact(
                    shade_act, sname=lambda li: f"ps{li}")
     col = where3(hit, lit, sky)
     col = apply_atmosphere(
-        opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col
+        opts, table_t, px, py, ray_pos, ray_dir, isec["distance"], col,
+        block=tblock,
     )
     if want_stats:
         if prev_loops is not None:

@@ -18,16 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache (VERDICT r4 item 7, suite-speed half):
-# after the oracle cache removed the scalar-oracle recompute, the remaining
-# suite cost is CPU jit compiles of the engines, which are identical run to
-# run unless engine code changed. Keyed by HLO, so stale hits are impossible.
-# Delete tests/.jax_compilation_cache to force cold compiles.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_compilation_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent XLA compilation cache. It was tried for suite speed
+# (round 5) and REMOVED: XLA:CPU AOT results embed the build host's
+# machine features (e.g. +prefer-no-gather), and loading them on a
+# different host changes FMA contraction enough to fail rtol=1e-5
+# invariants between a cached program and a freshly-compiled one
+# (test_compact_secondary_matches caught it; the loader warns
+# "machine type ... doesn't match"). Correctness over warm starts.
 
 
 # --- distributed-test disposition logging (VERDICT r4 item 10) -----------

@@ -533,8 +533,13 @@ def test_compact_secondary_matches(scene):
     tables = make_mc_tables(3, seed=7)
     times = jnp.arange(3, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
     accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
-    saved = render_mod.COMPACT_SECONDARY
+    saved = (render_mod.COMPACT_SECONDARY, render_mod.PASS_STACK)
     try:
+        # PASS_STACK=1 isolates the compaction diff: with stacking enabled
+        # the COMPACT_SECONDARY=True side would ALSO engage the stacked
+        # reflective engine (render.STACK_REFLECTIVE), crossing two
+        # restructurings at once (that path has its own test below)
+        render_mod.PASS_STACK = 1
         outs = {}
         for flag in (False, True):
             render_mod.COMPACT_SECONDARY = flag
@@ -548,7 +553,7 @@ def test_compact_secondary_matches(scene):
         assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift"
         np.testing.assert_allclose(np.median(a, 0), np.median(b, 0), rtol=1e-5)
     finally:
-        render_mod.COMPACT_SECONDARY = saved
+        render_mod.COMPACT_SECONDARY, render_mod.PASS_STACK = saved
 
 
 def test_compact_perm_partition():
@@ -820,3 +825,41 @@ def test_prepass_cost_seed_matches_and_gates(scene):
             jnp.arange(4096, dtype=jnp.int32), acc, 4096, 256) is None
     finally:
         render_mod.PASS_STACK, render_mod.PREPASS_STRIDE = saved
+
+
+def test_stacked_reflective_matches_sequential(scene):
+    """render.STACK_REFLECTIVE: reflective passes stacked as (N, P) lanes
+    with the compacted secondary loops POOLED per lane (each lane packs by
+    its own active flag; pass identity rides as per-lane opts.time rows +
+    explicit table-block offsets — sampling._table_idx block=). Per-lane
+    math is identical to the sequential per-pass renders, so this is
+    grouping-only: bit-equal on TPU (hardware A/B at config-4 spec,
+    PERFORMANCE.md round 5), FMA-contraction tolerance here on CPU."""
+    vol, _, _, acc = scene
+    opts = render_options(
+        width=256, height=48, vres=[32, 32, 96], iter=4, mat="metal",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    assert opts.reflectIter > 0
+    tables = make_mc_tables(4, seed=7)
+    times = jnp.arange(4, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((opts.num_pixels, 3), jnp.float32)
+    saved = (render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE)
+    try:
+        render_mod.PASS_STACK = 1
+        want = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        render_mod.PASS_STACK = 4
+        render_mod.STACK_REFLECTIVE = True
+        got = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+        bad = (rel.max(axis=1) > 1e-3).mean()
+        assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift"
+        np.testing.assert_allclose(
+            np.median(got, 0), np.median(want, 0), rtol=1e-4)
+    finally:
+        render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE = saved
