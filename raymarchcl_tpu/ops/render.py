@@ -191,10 +191,13 @@ STACK_TILE_ROWS = 1024
 STACK_REFLECTIVE = True
 
 # Prepass seeding for STACKED reflective groups (a/b maps + per-loop
-# histories). Separately flagged from PREPASS_STRIDE because the
-# unstacked reflective prepass measured a wash — under stacking group 0
-# is a much larger work share. Trace-time constant; hashes via engine_key.
-PREPASS_REFLECTIVE = True
+# histories). Measured OFF: the hypothesis was that group 0 being 1/2 of
+# a 16-spp stacked frame (vs 1/16 unstacked, where the prepass was a
+# wash) would make the seed pay — it didn't. Config-4 spec A/B on v5e:
+# off 17.137 s / on 17.978 s, bit-equal (the 16K-lane probe runs the
+# full compacted-loop machinery; its fixed costs exceed the cold-start
+# saving at every stride). Trace-time constant; hashes via engine_key.
+PREPASS_REFLECTIVE = False
 
 # Cost-map PREPASS for the stacked engine's group-0 cold start: before the
 # group scan, render ONE instrumented pass over every STRIDE-th pixel in

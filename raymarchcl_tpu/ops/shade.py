@@ -34,9 +34,14 @@ _F32 = jnp.float32
 # 30.4M @ 4096 rows -> 20.0M @ 1024 rows). The round-4 HW sweep at config 4
 # (512^2 metal scatter, 4 spp) found the offline-apps optimum too deep once
 # per-band fixed costs (program regions, pack permutes) are priced in:
-# 512 rows 6.80 s / 1024 6.18 / **2048 5.87-5.89** / 4096 6.04 — shipped
-# 2048. Trace-time constant; hashes into the jit key via engine_key().
-KEYED_TILE_ROWS = 2048
+# 512 rows 6.80 s / 1024 6.18 / 2048 5.87-5.89 / 4096 6.04. Under the
+# round-5 per-lane POOLED stacked engine (render.STACK_REFLECTIVE) the
+# optimum moved UP — pooled bands are fuller, so fewer, larger bands
+# amortize fixed costs: config-4 spec 16-spp sweep on v5e (bit-equal)
+# 2048 17.18 s / 4096 16.30 / **8192 16.28-16.29** / 16384 16.28 —
+# shipped 8192 (plateau middle). Trace-time constant; hashes into the
+# jit key via engine_key().
+KEYED_TILE_ROWS = 8192
 
 
 def sky_gradient(opts, rdir: V3) -> V3:

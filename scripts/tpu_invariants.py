@@ -188,6 +188,34 @@ def main():
         finally:
             flag_flip(**saved)
 
+    if run_inv("stack_reflective_on_off"):
+        # per-lane pooled stacked reflective engine (render.py
+        # STACK_REFLECTIVE) vs the unstacked compacted path; the metal ref
+        # at iter=2 engages stacking (p_eff=2), so flip it OFF and compare
+        saved = flag_flip(STACK_REFLECTIVE=False)
+        try:
+            k, _ = render_mod.render_image(vol, opts, tables, accel=accel)
+            record("stack_reflective_on_off", ref, k)
+        finally:
+            flag_flip(**saved)
+
+    if run_inv("prepass_on_off"):
+        # group-0 cold-start prepass (render.PREPASS_STRIDE); needs a
+        # coarse grid >= 1024 cells -> 128^2 at stride 4 (the 96^2 ref
+        # scene gates it off)
+        opts_pp = render_options(
+            width=128, height=128, vres=list(vres), iter=4, mat="ao",
+            eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+        )
+        tables4 = make_mc_tables(4, seed=0)
+        saved = flag_flip(PREPASS_STRIDE=0)
+        try:
+            p0, _ = render_mod.render_image(vol, opts_pp, tables4, accel=accel)
+        finally:
+            flag_flip(**saved)
+        p1, _ = render_mod.render_image(vol, opts_pp, tables4, accel=accel)
+        record("prepass_on_off", p0, p1)
+
     if run_inv("loop_keys_on_off"):
         # per-loop history keys for the compacted secondaries (metal
         # engages them; 2 passes so pass 2 renders with trained keys)
