@@ -1038,17 +1038,18 @@ FLAT_GROUND_STEPS = 4
 WIDE_SUBSTEPS = True
 
 # Substep depth for REFLECTIVE presets (opts.reflectIter > 0 — a static
-# opts field, so the choice is trace-time). The round-4 depth re-sweep
-# split by workload class: primary-heavy bounce-free configs optimize at
-# accel.BRICK_SUBSTEPS = 8 (deeper depths pay more trailing op cost than
-# the saved rounds return — headline 12 -> 3.69 s vs 3.43 at 8), while the
-# secondary-march-heavy reflective configs keep improving through 16
-# (config 4, 512^2 metal scatter 4 spp: 6 -> 6.18 s, 8 -> 5.77, 12 ->
-# 5.65, 16 -> 5.40; all bit-equal on v5e — substep depth is output-exact
-# by the prefix-AND first-event recovery). Their bounce/shadow marches
-# start at surfaces and cross stop-bearing bricks without stopping, so
-# more samples per row gather retire more of the march per application.
-SUBSTEPS_REFLECTIVE = 16
+# opts field, so the choice is trace-time). History: the round-4 depth
+# re-sweep split by workload class — bounce-free configs optimize at
+# accel.BRICK_SUBSTEPS = 8 while the UNSTACKED reflective configs kept
+# improving through 16 (config 4 at 4 spp: 6/8/12/16 -> 6.18/5.77/5.65/
+# 5.40 s) because sparse secondary bands amortized deeper fetches. The
+# round-5 per-lane POOLED stacked engine (render.STACK_REFLECTIVE)
+# dissolved that split: pooled bands are dense again, and the config-4
+# spec re-sweep (512^2/16spp, v5e, bit-equal — substep depth is
+# output-exact by the prefix-AND first-event recovery) reads 6 -> 15.87,
+# **8 -> 15.45**, 12 -> 16.11, 16 -> 16.30, 24 -> 17.46 s: the same
+# depth-8 optimum as every other march class.
+SUBSTEPS_REFLECTIVE = 8
 
 # Wide ground block: batch the FLAT_GROUND_STEPS ground-mode steps the same
 # way — the serial recurrence is only the ~5-op dist ladder; the ~90-op

@@ -34,6 +34,28 @@ jax.config.update("jax_platforms", "cpu")
 # the terminal summary and in tests/.distributed_disposition.json so CI
 # output shows whether multi-host init was actually exercised.
 
+# --- periodic jax cache clearing (XLA:CPU segfault mitigation) -----------
+# A full-suite run consistently SEGFAULTS inside XLA:CPU's
+# backend_compile_and_load after ~100 tests of accumulated compiled
+# executables (jax 0.9.0; the same compile succeeds in a fresh process,
+# and a 47-test subset passes — the crash needs the full accumulated
+# state). Dropping the Python-side references every N tests lets the
+# backend release executables and keeps the compiler off the crashing
+# path. Scoped per-test-count, not per-test: clearing is cheap but
+# recompiles aren't, and module-scoped fixtures amortize compiles within
+# a file.
+_CLEAR_EVERY = 25
+_test_counter = [0]
+
+
+def pytest_runtest_teardown(item):
+    _test_counter[0] += 1
+    if _test_counter[0] % _CLEAR_EVERY == 0:
+        import jax
+
+        jax.clear_caches()
+
+
 _DIST_REPORTS = {}
 
 
