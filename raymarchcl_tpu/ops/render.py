@@ -190,6 +190,14 @@ STACK_TILE_ROWS = 1024
 # Requires COMPACT_SECONDARY. Trace-time constant; hashes via engine_key.
 STACK_REFLECTIVE = True
 
+# Pooled-lane budget for STACK_REFLECTIVE: the reflective stacked phase B
+# materializes (N*P)-lane packed matrices; at 1024^2 x P=8 the program
+# needed 18.04G of the v5e's 15.75G HBM (measured OOM, config-5 100-spp
+# driver). 1024^2 x P=4 (4.2M lanes) fits with room; cap at 5M lanes so
+# big frames stack at the largest P that fits (1024^2 -> P=4; 512^2
+# keeps P=8; sharded frames see per-shard N and keep full P).
+STACK_REFLECTIVE_MAX_LANES = 5_000_000
+
 # Prepass seeding for STACKED reflective groups (a/b maps + per-loop
 # histories). Measured OFF: the hypothesis was that group 0 being 1/2 of
 # a 16-spp stacked frame (vs 1/16 unstacked, where the prepass was a
@@ -590,6 +598,29 @@ def _prepass_cost(vol, opts, table_t, ids_m, accel, n, w, loops=None):
     return out
 
 
+def stack_p(n, n_passes, reflective):
+    """Effective stack width P for an n-pixel frame of n_passes passes.
+
+    Full PASS_STACK groups are preferred; a clean divisor is taken only
+    when it is near PASS_STACK (the measured P-curve plateaus at P=6-8 and
+    drops sharply below — round-4 sweep), the remainder runs as an
+    unstacked tail. Reflective presets additionally clamp P to the pooled
+    phase-B HBM budget (STACK_REFLECTIVE_MAX_LANES): at 1024^2 x P=8 the
+    packed (N*P)-lane program needed 18.04G of the v5e's 15.75G HBM
+    (measured OOM, config-5 100-spp driver); P=4 fits with room.
+    """
+    p_max = min(PASS_STACK, n_passes)
+    if reflective:
+        while p_max > 1 and n * p_max > STACK_REFLECTIVE_MAX_LANES:
+            p_max -= 1
+    p_eff = p_max
+    for cand in range(p_eff, max(1, p_max - 2) - 1, -1):
+        if n_passes % cand == 0:
+            p_eff = cand  # exact divisor in the P-curve plateau
+            break
+    return p_eff
+
+
 def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
     """All spp passes via lax.scan (reference loop: core.clj:83-90).
 
@@ -621,12 +652,7 @@ def render_accum(vol, opts, mc_tables, times, accum, ids=None, accel=None):
         # while ANY of its P lanes was active); pooling the group's lanes
         # per-lane removes the union dilution — see the reflective branch
         # of _render_pass_deferred_stacked and STACK_REFLECTIVE.
-        n_passes = int(times.shape[0])
-        p_eff = min(PASS_STACK, n_passes)
-        for cand in range(p_eff, max(1, PASS_STACK - 2) - 1, -1):
-            if n_passes % cand == 0:
-                p_eff = cand  # exact divisor in the P-curve plateau
-                break
+        p_eff = stack_p(n, int(times.shape[0]), opts.reflectIter > 0)
     if tiles > 1 and DEFERRED_SHADE and p_eff > 1:
         # stacked trailing-lane engine (see PASS_STACK): bounce-free presets
         # on the accel path; reflective presets keep COMPACT_SECONDARY
@@ -870,7 +896,8 @@ def engine_key():
 
     return (
         DEFERRED_SHADE, TILE_RAYS, MAX_TILES, COMPACT_SECONDARY, LOOP_KEYS,
-        PASS_STACK, STACK_TILE_ROWS, STACK_REFLECTIVE, PREPASS_REFLECTIVE,
+        PASS_STACK, STACK_TILE_ROWS, STACK_REFLECTIVE,
+        STACK_REFLECTIVE_MAX_LANES, PREPASS_REFLECTIVE,
         PREPASS_STRIDE, PREPASS_FILT,
         march.MARCH_CHUNK, march.GROUND_STEPS, march.DIST_UNROLL,
         march.FLAT_UNROLL, march.FLAT_GROUND_STEPS, march.WIDE_SUBSTEPS,

@@ -863,3 +863,63 @@ def test_stacked_reflective_matches_sequential(scene):
             np.median(got, 0), np.median(want, 0), rtol=1e-4)
     finally:
         render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE = saved
+
+
+def test_stack_p_reflective_lane_clamp():
+    """render.stack_p: reflective presets clamp P so n*P stays under the
+    pooled phase-B HBM budget (STACK_REFLECTIVE_MAX_LANES — 1024^2 x P=8
+    measured OOM on v5e at 18.04G/15.75G HBM; P=4 fits). Bounce-free
+    presets never clamp (no pooled N*P matrices in that engine)."""
+    saved = (render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE_MAX_LANES)
+    try:
+        render_mod.PASS_STACK = 8
+        render_mod.STACK_REFLECTIVE_MAX_LANES = 5_000_000
+        assert render_mod.stack_p(512 * 512, 16, True) == 8  # 2.1M lanes
+        assert render_mod.stack_p(1024 * 1024, 8, True) == 4  # 8.4M -> 4.2M
+        assert render_mod.stack_p(1024 * 1024, 100, True) == 4
+        assert render_mod.stack_p(1024 * 1024, 8, False) == 8  # no clamp
+        assert render_mod.stack_p(6_000_000, 8, True) == 1  # nothing fits
+        # sharded frames see per-shard n and keep full P
+        assert render_mod.stack_p(1024 * 1024 // 8, 8, True) == 8
+    finally:
+        render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE_MAX_LANES = saved
+
+
+def test_stacked_reflective_lane_clamp_matches_sequential(scene):
+    """The HBM-budget clamp (stack_p with a reduced
+    STACK_REFLECTIVE_MAX_LANES) engages mid-frame-size and the clamped-P
+    stacked render stays value-identical to the sequential per-pass scan
+    — i.e. the clamp only changes grouping, like every P."""
+    vol, _, _, acc = scene
+    opts = render_options(
+        width=256, height=48, vres=[32, 32, 96], iter=4, mat="metal",
+        maxIter=24, maxVoxelIter=48, shadowIter=24,
+        eyepos=compute_eyepos(135.0, 2.25, 0.35), targetpos=[0, -0.4, 0],
+    )
+    assert opts.reflectIter > 0
+    n = opts.num_pixels
+    tables = make_mc_tables(4, seed=7)
+    times = jnp.arange(4, dtype=jnp.float32) * render_mod.TIME_STEP_INIT
+    accum0 = jnp.zeros((n, 3), jnp.float32)
+    saved = (render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE,
+             render_mod.STACK_REFLECTIVE_MAX_LANES)
+    try:
+        render_mod.PASS_STACK = 1
+        want = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        render_mod.PASS_STACK = 4
+        render_mod.STACK_REFLECTIVE = True
+        render_mod.STACK_REFLECTIVE_MAX_LANES = n * 2  # clamps P 4 -> 2
+        assert render_mod.stack_p(n, 4, True) == 2
+        got = np.asarray(
+            render_mod.render_accum(vol, opts, tables, times, accum0,
+                                    accel=acc))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-3)
+        bad = (rel.max(axis=1) > 1e-3).mean()
+        assert bad < 0.01, f"{bad:.2%} of pixels differ beyond drift"
+        np.testing.assert_allclose(
+            np.median(got, 0), np.median(want, 0), rtol=1e-4)
+    finally:
+        (render_mod.PASS_STACK, render_mod.STACK_REFLECTIVE,
+         render_mod.STACK_REFLECTIVE_MAX_LANES) = saved
